@@ -1,0 +1,32 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding paths are exercised on
+``xla_force_host_platform_device_count=8`` CPU devices (the driver separately
+dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``).
+Environment must be set before the first ``import jax`` anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
+
+# The axon TPU-tunnel sitecustomize pins jax_platforms="axon,cpu" via jax
+# config at interpreter start, which overrides the env var — override it
+# back before any backend is instantiated.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
