@@ -1,0 +1,201 @@
+"""Bundle adjustment: batched Levenberg-Marquardt with explicit Schur
+complement over fixed-capacity edge tables.
+
+Role of the reference's ``Optimizer::LocalBundleAdjustment`` /
+``GlobalBundleAdjustemnt`` (orb_slam3/src/Optimizer.cc:1118-1504 and :52-390)
+and of the vendored g2o machinery they drive (BlockSolver_6_3 with
+Schur-marginalized landmarks + OptimizationAlgorithmLevenberg). The
+reference's own explicit-Schur ``Optimizer::Marginalize`` (Optimizer.cc:3105)
+documents the math being reproduced here.
+
+TPU-first design:
+- **edge tables, not graphs**: every observation is a row
+  (cam_idx, pt_idx, uv, inv_sigma2, valid) in a fixed-capacity array;
+  per-edge residuals/Jacobians are vmapped, block sums use scatter-adds.
+- **dense-masked Schur**: the camera-point coupling W = Jc^T Jp is
+  scattered into a dense [K, P, 6, 3] tensor and the reduced camera
+  system S = Hcc - W Hpp^-1 W^T becomes two einsums — MXU contractions —
+  instead of sparse pointer chasing. For the local-BA regime
+  (K <= ~64 cameras, P <= ~16k points) this is well within HBM.
+- **robust IRLS**: Huber reweighting per iteration (g2o kernels).
+- **abortable**: the iteration loop is chunked by the caller (the
+  reference interrupts local BA via mbAbortBA between g2o iterations;
+  here the caller simply stops scheduling further chunks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cameras, lie, robust
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA problem (the array-of-structs analogue of the
+    local-BA subgraph the reference assembles at Optimizer.cc:1120-1210)."""
+
+    R: jnp.ndarray  # [K,3,3] Tcw rotations
+    t: jnp.ndarray  # [K,3]
+    cam_fixed: jnp.ndarray  # [K] bool — gauge/fixed observers
+    cam_valid: jnp.ndarray  # [K] bool — slot in use
+    X: jnp.ndarray  # [P,3] world points
+    pt_valid: jnp.ndarray  # [P] bool
+    cam_idx: jnp.ndarray  # [E] int32
+    pt_idx: jnp.ndarray  # [E] int32
+    uv: jnp.ndarray  # [E,2]
+    inv_sigma2: jnp.ndarray  # [E]
+    edge_valid: jnp.ndarray  # [E] bool
+    cam_params: jnp.ndarray  # [9] shared pinhole
+
+
+class BAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    X: jnp.ndarray
+    chi2: jnp.ndarray  # [E] final sigma-normalized chi2
+    inlier: jnp.ndarray  # [E]
+    cost: jnp.ndarray  # [] final robust cost
+    n_inliers: jnp.ndarray
+
+
+def _edge_res_jac(R, t, X, uv, cam_params):
+    Xc = jnp.einsum("ij,j->i", R, X) + t
+    pred = cameras.pinhole_project_nodist(cam_params, Xc)
+    r = pred - uv
+    Jproj = cameras.pinhole_project_jac(cam_params, Xc)  # [2,3]
+    Jc = Jproj @ jnp.concatenate([jnp.eye(3, dtype=X.dtype), -lie.hat(Xc)], axis=-1)
+    Jp = Jproj @ R
+    return r, Jc, Jp
+
+
+_vedge = jax.vmap(_edge_res_jac, in_axes=(0, 0, 0, 0, None))
+
+
+def _gather_edges(prob: BAProblem, R, t, X):
+    Re = R[prob.cam_idx]
+    te = t[prob.cam_idx]
+    Xe = X[prob.pt_idx]
+    return _vedge(Re, te, Xe, prob.uv, prob.cam_params)
+
+
+def _robust_cost(chi2, w_valid, delta2):
+    s = chi2
+    rho = jnp.where(s <= delta2, s, 2.0 * jnp.sqrt(delta2 * jnp.maximum(s, 1e-12)) - delta2)
+    return jnp.sum(jnp.where(w_valid, rho, 0.0))
+
+
+@partial(jax.jit, static_argnames=("n_iters", "use_robust"))
+def bundle_adjust(
+    prob: BAProblem,
+    n_iters: int = 10,
+    chi2_th: float = robust.CHI2_MONO,
+    use_robust: bool = True,
+    lam0: float = 1e-3,
+) -> BAResult:
+    """Run ``n_iters`` LM iterations of full BA on the problem."""
+    K = prob.R.shape[0]
+    P = prob.X.shape[0]
+    dtype = prob.R.dtype
+    delta2 = chi2_th
+
+    def chi2_of(R, t, X):
+        r, _, _ = _gather_edges(prob, R, t, X)
+        return jnp.sum(r * r, axis=-1) * prob.inv_sigma2
+
+    def cost_of(R, t, X):
+        chi2 = chi2_of(R, t, X)
+        if use_robust:
+            return _robust_cost(chi2, prob.edge_valid, delta2)
+        return jnp.sum(jnp.where(prob.edge_valid, chi2, 0.0))
+
+    def step(carry, _):
+        R, t, X, lam, cost = carry
+        r, Jc, Jp = _gather_edges(prob, R, t, X)  # [E,2],[E,2,6],[E,2,3]
+        chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
+        w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
+        w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)  # [E]
+
+        # Block accumulations.
+        JcW = Jc * w[:, None, None]
+        Hcc = jnp.zeros((K, 6, 6), dtype).at[prob.cam_idx].add(
+            jnp.einsum("eia,eib->eab", JcW, Jc)
+        )
+        Hpp = jnp.zeros((P, 3, 3), dtype).at[prob.pt_idx].add(
+            jnp.einsum("eia,eib->eab", Jp * w[:, None, None], Jp)
+        )
+        gc = jnp.zeros((K, 6), dtype).at[prob.cam_idx].add(
+            -jnp.einsum("eia,ei->ea", JcW, r)
+        )
+        gp = jnp.zeros((P, 3), dtype).at[prob.pt_idx].add(
+            -jnp.einsum("eia,ei->ea", Jp * w[:, None, None], r)
+        )
+        Wcp = (
+            jnp.zeros((K * P, 6, 3), dtype)
+            .at[prob.cam_idx * P + prob.pt_idx]
+            .add(jnp.einsum("eia,eib->eab", JcW, Jp))
+            .reshape(K, P, 6, 3)
+        )
+
+        # Damping (Marquardt: scale diagonals).
+        eye6 = jnp.eye(6, dtype=dtype)
+        eye3 = jnp.eye(3, dtype=dtype)
+        Hcc_d = Hcc + (lam * jnp.diagonal(Hcc, axis1=-2, axis2=-1) + 1e-6)[..., :, None] * eye6
+        Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-6)[..., :, None] * eye3
+
+        Hpp_inv = jnp.linalg.inv(Hpp_d)  # [P,3,3] batched
+
+        # Schur reduction onto cameras.
+        Y = jnp.einsum("kpab,pbc->kpac", Wcp, Hpp_inv)  # [K,P,6,3]
+        S = -jnp.einsum("kpac,lpbc->klab", Y, Wcp)  # [K,K,6,6]
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+        rhs = gc - jnp.einsum("kpab,pb->ka", Y, gp)  # [K,6]
+
+        # Fixed / invalid cameras: identity rows+cols, zero rhs.
+        free = (prob.cam_valid & ~prob.cam_fixed).astype(dtype)  # [K]
+        S = S * free[:, None, None, None] * free[None, :, None, None]
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(
+            (1.0 - free)[:, None, None] * eye6
+        )
+        rhs = rhs * free[:, None]
+
+        Smat = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        delta_c = jnp.linalg.solve(Smat, rhs.reshape(K * 6)).reshape(K, 6)
+        delta_c = delta_c * free[:, None]
+
+        # Back-substitute points.
+        rhs_p = gp - jnp.einsum("kpab,ka->pb", Wcp, delta_c)
+        delta_p = jnp.einsum("pab,pb->pa", Hpp_inv, rhs_p)
+        delta_p = delta_p * prob.pt_valid[:, None].astype(dtype)
+
+        # Candidate update (fixed cameras bypass even the renormalization
+        # so they stay bit-identical).
+        dR, dt = lie.se3_exp(delta_c)
+        freeb = free[:, None, None] > 0
+        R_new = jnp.where(freeb, lie.normalize_rotation(dR @ R), R)
+        t_new = jnp.where(free[:, None] > 0, jnp.einsum("kij,kj->ki", dR, t) + dt, t)
+        X_new = X + delta_p
+
+        cost_new = cost_of(R_new, t_new, X_new)
+        better = cost_new < cost
+        R = jnp.where(better, R_new, R)
+        t = jnp.where(better, t_new, t)
+        X = jnp.where(better, X_new, X)
+        lam = jnp.where(better, jnp.maximum(lam * 0.4, 1e-8), jnp.minimum(lam * 5.0, 1e6))
+        cost = jnp.where(better, cost_new, cost)
+        return (R, t, X, lam, cost), cost
+
+    cost0 = cost_of(prob.R, prob.t, prob.X)
+    (R, t, X, lam, cost), _ = jax.lax.scan(
+        step, (prob.R, prob.t, prob.X, jnp.asarray(lam0, dtype), cost0), None,
+        length=n_iters,
+    )
+    chi2 = chi2_of(R, t, X)
+    inlier = prob.edge_valid & (chi2 <= chi2_th)
+    return BAResult(
+        R=R, t=t, X=X, chi2=chi2, inlier=inlier, cost=cost,
+        n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+    )

@@ -1,0 +1,207 @@
+"""Oriented binary descriptors + the full multi-level feature extractor.
+
+Role of the reference's ``ORBextractor`` descriptor stage (reference
+orb_slam3/src/ORBextractor.cc: ``IC_Angle`` :76-104, ``computeOrbDescriptor``
+:107-144, pattern table :149-408, ``operator()`` :1086-1168). TPU-first
+design decisions:
+
+- **orientation by intensity centroid** is computed for *all pixels at
+  once* as two 31x31 masked-moment convolutions (XLA conv -> MXU), then
+  gathered at keypoint locations — instead of per-keypoint scalar loops.
+- **descriptors** use a steered 256-pair binary test like rBRIEF. The
+  reference ships ORB's learned pair table; we generate our own fixed
+  Gaussian pattern (classic BRIEF recipe) — descriptors only need to be
+  self-consistent within this system, and the matcher consumes them in two
+  forms: bit-packed ``uint32 [N, 8]`` (storage) and sign-expanded
+  ``int8 [N, 256]`` (MXU Hamming-as-matmul, see ``hamming.py``).
+- fixed per-level capacities with validity masks; one compiled program per
+  image geometry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fast as fast_mod
+from . import pyramid as pyr_mod
+
+PATCH_R = 15  # orientation patch radius (reference HALF_PATCH_SIZE = 15)
+PAIR_CLIP = 13  # descriptor test offsets stay within +-13 (patch 31 - margin)
+N_BITS = 256
+
+
+def _make_pattern(seed: int = 42) -> np.ndarray:
+    """[256, 2, 2] (pair, endpoint, xy) Gaussian BRIEF pattern, fixed."""
+    rng = np.random.default_rng(seed)
+    sigma = (2 * PAIR_CLIP + 1) / 5.0
+    pat = rng.normal(0.0, sigma, size=(N_BITS, 2, 2))
+    return np.clip(np.round(pat), -PAIR_CLIP, PAIR_CLIP).astype(np.float32)
+
+
+PATTERN = _make_pattern()
+
+
+def _moment_kernels() -> tuple[np.ndarray, np.ndarray]:
+    """31x31 cross-correlation kernels for (m10, m01) over the circular
+    patch used by the reference's IC_Angle (ORBextractor.cc:76-104)."""
+    size = 2 * PATCH_R + 1
+    ys, xs = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
+    mask = (xs**2 + ys**2) <= PATCH_R**2
+    kx = (xs * mask).astype(np.float32)
+    ky = (ys * mask).astype(np.float32)
+    return kx, ky
+
+
+_KX, _KY = _moment_kernels()
+
+
+def orientation_maps(img: jnp.ndarray):
+    """(m10 map, m01 map): per-pixel intensity-centroid moments."""
+    m10 = pyr_mod.conv2d_same(img, jnp.asarray(_KX))
+    m01 = pyr_mod.conv2d_same(img, jnp.asarray(_KY))
+    return m10, m01
+
+
+def angles_at(img: jnp.ndarray, xy: jnp.ndarray):
+    """Keypoint orientations [N] (radians) via the moment maps."""
+    m10, m01 = orientation_maps(img)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, img.shape[1] - 1)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, img.shape[0] - 1)
+    return jnp.arctan2(m01[yi, xi], m10[yi, xi])
+
+
+def compute_descriptors(blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray):
+    """Steered 256-bit binary descriptors.
+
+    Args:
+      blurred: [H, W] Gaussian-blurred level image.
+      xy: [N, 2] keypoint positions (level pixels).
+      angle: [N] orientations (radians).
+
+    Returns:
+      bits [N, 256] bool.
+    """
+    h, w = blurred.shape
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    rot = jnp.stack(
+        [jnp.stack([ca, -sa], -1), jnp.stack([sa, ca], -1)], axis=-2
+    )  # [N, 2, 2] row-major: p' = rot @ p
+    pat = jnp.asarray(PATTERN)  # [P, 2, 2] xy
+    # rotated offsets: [N, P, 2(endpoint), 2(xy)]
+    off = jnp.einsum("nij,pkj->npki", rot, pat)
+    coords = xy[:, None, None, :] + jnp.round(off)
+    xi = jnp.clip(coords[..., 0].astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(coords[..., 1].astype(jnp.int32), 0, h - 1)
+    vals = blurred[yi, xi]  # [N, P, 2]
+    return vals[..., 0] < vals[..., 1]
+
+
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] bool -> [N, 8] uint32 (bit i of word j = bit 32j+i)."""
+    n = bits.shape[0]
+    b = bits.reshape(n, 8, 32).astype(jnp.uint32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b * weights[None, None, :], axis=-1)
+
+
+def sign_expand(bits: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] bool -> [N, 256] int8 in {-1, +1} for MXU matching."""
+    return (1 - 2 * bits.astype(jnp.int8)).astype(jnp.int8)
+
+
+class ExtractorConfig(NamedTuple):
+    """Static extractor configuration (role of the ORBextractor ctor args
+    parsed from YAML: nFeatures/scaleFactor/nLevels/iniThFAST/minThFAST,
+    reference Settings.cc ORB section)."""
+
+    height: int
+    width: int
+    n_levels: int = 8
+    scale: float = 1.2
+    caps: Sequence[int] = (256, 192, 160, 128, 112, 96, 80, 64)
+    ini_threshold: float = 20.0
+    min_threshold: float = 7.0
+
+    @property
+    def total_cap(self) -> int:
+        return int(sum(self.caps))
+
+    def level_shape(self, l: int):
+        return pyr_mod.level_shapes(self.height, self.width, self.n_levels, self.scale)[l]
+
+    def cell_size(self, l: int) -> int:
+        h, w = self.level_shape(l)
+        return max(12, int(np.sqrt(h * w / (2.5 * self.caps[l]))))
+
+
+def default_config(height: int, width: int, n_features: int = 1000, **kw) -> ExtractorConfig:
+    """Distribute per-level capacities like the reference's geometric
+    series (ORBextractor.cc:456-476: nfeatures * (1-q)/(1-q^L) * q^l),
+    rounded up to multiples of 8."""
+    n_levels = kw.pop("n_levels", 8)
+    scale = kw.pop("scale", 1.2)
+    q = 1.0 / scale
+    f = n_features * (1 - q) / (1 - q**n_levels)
+    caps = tuple(int(np.ceil(f * q**l / 8) * 8) for l in range(n_levels))
+    return ExtractorConfig(
+        height=height, width=width, n_levels=n_levels, scale=scale, caps=caps, **kw
+    )
+
+
+class Features(NamedTuple):
+    """Fixed-capacity per-frame feature set (role of the keypoint/descriptor
+    vectors inside ``Frame``, orb_slam3/include/Frame.h:263-280)."""
+
+    xy: jnp.ndarray  # [N, 2] level-0 pixel coords
+    level: jnp.ndarray  # [N] int32 pyramid level
+    angle: jnp.ndarray  # [N] radians
+    response: jnp.ndarray  # [N]
+    desc_packed: jnp.ndarray  # [N, 8] uint32
+    desc_sign: jnp.ndarray  # [N, 256] int8 (+-1)
+    valid: jnp.ndarray  # [N] bool
+
+
+def extract(img: jnp.ndarray, config: ExtractorConfig) -> Features:
+    """Full ORB-style extraction over the pyramid. ``img`` [H, W] f32 in
+    [0, 255]. Equivalent of ``ORBextractor::operator()``
+    (ORBextractor.cc:1086-1168) minus the stereo partitioning (done by the
+    caller)."""
+    levels = pyr_mod.build_pyramid(img, config.n_levels, config.scale)
+    out_xy, out_lvl, out_ang, out_resp = [], [], [], []
+    out_bits, out_valid = [], []
+    for l, lv in enumerate(levels):
+        cap = config.caps[l]
+        xy, resp, valid = fast_mod.detect_grid(
+            lv,
+            max_kp=cap,
+            cell=config.cell_size(l),
+            ini_threshold=config.ini_threshold,
+            min_threshold=config.min_threshold,
+        )
+        ang = angles_at(lv, xy)
+        blurred = pyr_mod.gaussian_blur(lv)
+        bits = compute_descriptors(blurred, xy, ang)
+        scale_l = config.scale**l
+        out_xy.append(xy * scale_l)
+        out_lvl.append(jnp.full((cap,), l, jnp.int32))
+        out_ang.append(ang)
+        out_resp.append(resp)
+        out_bits.append(bits)
+        out_valid.append(valid)
+    xy = jnp.concatenate(out_xy)
+    bits = jnp.concatenate(out_bits)
+    valid = jnp.concatenate(out_valid)
+    return Features(
+        xy=jnp.where(valid[:, None], xy, 0.0),
+        level=jnp.concatenate(out_lvl),
+        angle=jnp.concatenate(out_ang),
+        response=jnp.concatenate(out_resp),
+        desc_packed=pack_bits(bits),
+        desc_sign=jnp.where(valid[:, None], sign_expand(bits), 0),
+        valid=valid,
+    )

@@ -1,0 +1,224 @@
+"""Synthetic dataset generator: a ray-traced textured room with exact
+ground-truth trajectory, depth, and IMU.
+
+The reference's integration tests are dataset replays (EuRoC/KITTI/TUM-VI
+rosbags, SURVEY §4); those blobs are unavailable here, so this module
+renders a procedural scene that exercises the same pipeline: textured
+surfaces with trackable ORB corners, exact GT poses for ATE scoring, and
+synthesizable IMU (gyro/accel from the analytic trajectory).
+
+Scene: the inside of an axis-aligned box (room) with a distinct
+high-frequency value-noise texture per wall. Images are rendered by
+ray-casting each pixel to the box and bilinearly sampling the wall
+texture — fully vectorized JAX, renders on-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+
+
+def _value_noise_texture(size: int, seed: int, octaves: int = 5) -> np.ndarray:
+    """Multi-octave value noise in [0, 255], strong corner content."""
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((size, size), np.float32)
+    amp = 1.0
+    for o in range(octaves):
+        n = 2 ** (o + 3)
+        coarse = rng.uniform(-1, 1, size=(n, n)).astype(np.float32)
+        # bilinear upsample to size
+        idx = np.linspace(0, n - 1, size)
+        xi = np.clip(idx.astype(int), 0, n - 2)
+        fx = idx - xi
+        row = coarse[:, xi] * (1 - fx) + coarse[:, np.minimum(xi + 1, n - 1)] * fx
+        tex += amp * (
+            row[xi, :] * (1 - fx[:, None]) + row[np.minimum(xi + 1, n - 1), :] * fx[:, None]
+        )
+        amp *= 0.55
+    # Add salt-like blobs for distinct FAST corners.
+    n_dots = size * size // 256
+    ys = rng.integers(2, size - 3, n_dots)
+    xs = rng.integers(2, size - 3, n_dots)
+    pol = rng.choice([-1.0, 1.0], n_dots)
+    for y, x, p in zip(ys, xs, pol):
+        tex[y - 1 : y + 2, x - 1 : x + 2] += 2.5 * p
+    tex = tex - tex.min()
+    tex = tex / tex.max() * 235.0 + 10.0
+    return tex.astype(np.float32)
+
+
+class RoomScene(NamedTuple):
+    half: jnp.ndarray  # [3] box half-extents
+    textures: jnp.ndarray  # [6, S, S] one per face (+x,-x,+y,-y,+z,-z)
+    tex_size: int
+
+
+def make_room(seed: int = 0, half=(4.0, 3.0, 2.5), tex_size: int = 1024) -> RoomScene:
+    texs = np.stack([_value_noise_texture(tex_size, seed * 7 + i) for i in range(6)])
+    return RoomScene(
+        half=jnp.asarray(half, jnp.float32),
+        textures=jnp.asarray(texs),
+        tex_size=tex_size,
+    )
+
+
+def _ray_box_hits(origin, dirs, half):
+    """For rays inside the box, the exit distance per face and face uv.
+
+    Returns t_face [..., 6] (inf where ray exits through another face)
+    and uv in [0,1]^2 per face [..., 6, 2].
+    """
+    # Face normals along axes; face k=0..5 -> axis k//2, sign +- per k%2.
+    ts = []
+    uvs = []
+    for k in range(6):
+        ax = k // 2
+        sgn = 1.0 if k % 2 == 0 else -1.0
+        denom = dirs[..., ax]
+        t = (sgn * half[ax] - origin[..., ax]) / jnp.where(
+            jnp.abs(denom) < 1e-9, 1e-9, denom
+        )
+        t = jnp.where((t > 1e-4) & (jnp.sign(denom) == sgn), t, jnp.inf)
+        p = origin + t[..., None] * dirs
+        # uv from the two other axes
+        a1, a2 = [a for a in range(3) if a != ax]
+        u = (p[..., a1] / half[a1] + 1.0) * 0.5
+        v = (p[..., a2] / half[a2] + 1.0) * 0.5
+        inside = (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+        t = jnp.where(inside, t, jnp.inf)
+        ts.append(t)
+        uvs.append(jnp.stack([u, v], axis=-1))
+    return jnp.stack(ts, axis=-1), jnp.stack(uvs, axis=-2)
+
+
+def _sample_tex(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    s = tex.shape[0]
+    x = jnp.clip(uv[..., 0], 0.0, 1.0) * (s - 1)
+    y = jnp.clip(uv[..., 1], 0.0, 1.0) * (s - 1)
+    x0 = jnp.clip(x.astype(jnp.int32), 0, s - 2)
+    y0 = jnp.clip(y.astype(jnp.int32), 0, s - 2)
+    fx = x - x0
+    fy = y - y0
+    v00 = tex[y0, x0]
+    v01 = tex[y0, x0 + 1]
+    v10 = tex[y0 + 1, x0]
+    v11 = tex[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def render(
+    scene: RoomScene,
+    R_wc: jnp.ndarray,
+    t_wc: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    height: int = 480,
+    width: int = 752,
+):
+    """Render the camera view (grayscale [H, W] f32 in [0,255]) and the
+    depth map [H, W] (z in camera frame) for pose (R_wc, t_wc) = camera
+    to world."""
+    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    xg, yg = jnp.meshgrid(xs, ys)
+    dirs_c = jnp.stack(
+        [(xg - cx) / fx, (yg - cy) / fy, jnp.ones_like(xg)], axis=-1
+    )
+    dirs_w = jnp.einsum("ij,hwj->hwi", R_wc, dirs_c)
+    origin = jnp.broadcast_to(t_wc, dirs_w.shape)
+    ts, uvs = _ray_box_hits(origin, dirs_w, scene.half)
+    face = jnp.argmin(ts, axis=-1)  # [H, W]
+    t_hit = jnp.min(ts, axis=-1)
+    uv = jnp.take_along_axis(uvs, face[..., None, None], axis=-2)[..., 0, :]
+    # Sample each face texture, select.
+    vals = jnp.stack(
+        [_sample_tex(scene.textures[k], uv) for k in range(6)], axis=-1
+    )
+    img = jnp.take_along_axis(vals, face[..., None], axis=-1)[..., 0]
+    # Hit point in camera frame is t_hit * dirs_c, whose z-component is
+    # t_hit (dirs_c has z = 1) — so t_hit IS the camera z-depth.
+    depth = t_hit
+    return img, depth
+
+
+def orbit_trajectory(n_frames: int, dt: float = 0.05, seed: int = 1):
+    """Smooth camera trajectory inside the room: slow orbit + bobbing,
+    camera looking toward a moving target. Returns (R_wc [N,3,3],
+    t_wc [N,3]) as numpy, plus per-frame timestamps."""
+    t = np.arange(n_frames) * dt
+    # position: ellipse around center
+    px = 1.8 * np.sin(0.25 * t)
+    py = 1.2 * np.sin(0.17 * t + 0.8)
+    pz = 0.4 * np.sin(0.33 * t)
+    pos = np.stack([px, py, pz], axis=-1).astype(np.float64)
+    # look-at point wanders on the +x wall
+    look = np.stack(
+        [np.full_like(t, 4.0), 1.5 * np.sin(0.11 * t), 0.8 * np.cos(0.13 * t)],
+        axis=-1,
+    )
+    Rs = []
+    for i in range(n_frames):
+        z = look[i] - pos[i]
+        z = z / np.linalg.norm(z)
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(z, up)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rs.append(np.stack([x, y, z], axis=-1))  # columns = camera axes in world
+    return np.asarray(Rs, np.float32), pos.astype(np.float32), t
+
+
+class SynthSequence(NamedTuple):
+    images: np.ndarray  # [N, H, W] f32
+    R_wc: np.ndarray  # [N, 3, 3]
+    t_wc: np.ndarray  # [N, 3]
+    timestamps: np.ndarray  # [N]
+    cam_params: np.ndarray  # [9] pinhole
+    depths: np.ndarray | None
+
+
+def make_sequence(
+    n_frames: int = 30,
+    height: int = 240,
+    width: int = 376,
+    dt: float = 0.1,
+    seed: int = 0,
+    with_depth: bool = False,
+) -> SynthSequence:
+    """Render a full sequence (host-side convenience for tests/bench)."""
+    scene = make_room(seed=seed)
+    f = 0.55 * width
+    cam = np.asarray(
+        [f, f, (width - 1) / 2.0, (height - 1) / 2.0, 0, 0, 0, 0, 0], np.float32
+    )
+    R_wc, t_wc, ts = orbit_trajectory(n_frames, dt=dt, seed=seed)
+    imgs, deps = [], []
+    for i in range(n_frames):
+        img, dep = render(
+            scene, jnp.asarray(R_wc[i]), jnp.asarray(t_wc[i]), jnp.asarray(cam),
+            height=height, width=width,
+        )
+        imgs.append(np.asarray(img))
+        if with_depth:
+            deps.append(np.asarray(dep))
+    return SynthSequence(
+        images=np.stack(imgs),
+        R_wc=R_wc,
+        t_wc=t_wc,
+        timestamps=ts,
+        cam_params=cam,
+        depths=np.stack(deps) if with_depth else None,
+    )
