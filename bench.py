@@ -1,0 +1,75 @@
+"""Benchmark: steady-state monocular tracking+local-BA throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+Baseline: the reference runs EuRoC at camera rate (20 fps) on a desktop
+CPU (config/Monocular-Inertial/EuRoC.yaml Camera.fps, BASELINE.md) —
+vs_baseline = our frames/s / 20.
+
+Measures frames after the pipeline is warm (all XLA programs compiled,
+map initialized) so tunnel compile latency is excluded; the per-frame
+work includes ORB extraction, project+match tracking, pose optimization,
+and amortized keyframe insertion (triangulation + local BA), mirroring
+the reference's per-frame hot path (SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from orb_slam3_ros_tpu.models.system import MonoSlam, OK
+    from orb_slam3_ros_tpu.utils import synth
+    from orb_slam3_ros_tpu.utils.evaluate_ate import ate_rmse
+
+    H, W = 240, 376
+    n_frames = 60
+    warm = 30
+    print(f"bench: rendering {n_frames} frames...", file=sys.stderr, flush=True)
+    seq = synth.make_sequence(n_frames=n_frames, height=H, width=W, dt=0.1, seed=3)
+    slam = MonoSlam(
+        height=H, width=W, cam_params=seq.cam_params, n_features=1200,
+        max_keyframes=64, max_points=8192,
+    )
+    t_warm_start = time.time()
+    for i in range(warm):
+        slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+    print(
+        f"bench: warmup done in {time.time()-t_warm_start:.1f}s "
+        f"(state_ok={slam.state == OK}, kf={slam.n_kf})",
+        file=sys.stderr, flush=True,
+    )
+    t0 = time.time()
+    for i in range(warm, n_frames):
+        slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+    dt = time.time() - t0
+    fps = (n_frames - warm) / dt
+
+    ts = np.asarray([t for t, _ in slam.trajectory])
+    est = np.stack([T[:3, 3] for _, T in slam.trajectory])
+    rmse, _, _ = ate_rmse(ts, est, seq.timestamps.astype(np.float64), seq.t_wc)
+    print(
+        f"bench: ate_rmse={rmse:.4f} m, tracked={len(ts)}/{n_frames}",
+        file=sys.stderr, flush=True,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "mono tracking+local-BA throughput (synthetic 376x240, 1200 feats)",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 20.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Local-mapping stage: local-BA problem assembly from the map state and
+point maintenance (culling counters).
+
+Role of the reference's ``LocalMapping`` thread body
+(orb_slam3/src/LocalMapping.cc: local BA dispatch :149-179, MapPointCulling
+:346, KeyFrameCulling :902). Triangulation lives in tracking.py; this
+module owns the window gather -> ``BAProblem`` -> scatter-back cycle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ba
+from .map_state import MapState
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def build_local_ba(
+    m: MapState,
+    window_ids: jnp.ndarray,  # [W] int32 keyframe ids (free + fixed)
+    fixed_mask: jnp.ndarray,  # [W] bool
+    cam_params: jnp.ndarray,
+    scale: float = 1.2,
+) -> ba.BAProblem:
+    """Gather the covisible window into a fixed-capacity BA problem.
+
+    Edge table = every (window KF, feature) slot with a bound map point —
+    the dense equivalent of the lLocalMapPoints/lLocalKeyFrames lists the
+    reference builds at Optimizer.cc:1120-1210.
+    """
+    W = window_ids.shape[0]
+    N = m.N
+    P = m.P
+    obs = m.kf_obs[window_ids]  # [W,N]
+    pt_idx = jnp.clip(obs.reshape(-1), 0, P - 1)
+    edge_valid = (
+        (obs.reshape(-1) >= 0)
+        & m.kf_feat_valid[window_ids].reshape(-1)
+        & m.kf_valid[window_ids].repeat(N)
+        & m.pt_valid[pt_idx]
+    )
+    inv_sigma2 = 1.0 / scale ** (
+        2.0 * m.kf_level[window_ids].reshape(-1).astype(jnp.float32)
+    )
+    return ba.BAProblem(
+        R=m.kf_R[window_ids],
+        t=m.kf_t[window_ids],
+        cam_fixed=fixed_mask,
+        cam_valid=m.kf_valid[window_ids],
+        X=m.pt_X,
+        pt_valid=m.pt_valid,
+        cam_idx=jnp.repeat(jnp.arange(W, dtype=jnp.int32), N),
+        pt_idx=pt_idx.astype(jnp.int32),
+        uv=m.kf_xy[window_ids].reshape(-1, 2),
+        inv_sigma2=inv_sigma2,
+        edge_valid=edge_valid,
+        cam_params=cam_params,
+    )
+
+
+@jax.jit
+def apply_local_ba(
+    m: MapState, window_ids: jnp.ndarray, res: ba.BAResult
+) -> MapState:
+    """Scatter optimized poses/points back into the map."""
+    return m._replace(
+        kf_R=m.kf_R.at[window_ids].set(res.R),
+        kf_t=m.kf_t.at[window_ids].set(res.t),
+        pt_X=res.X,
+    )
+
+
+@jax.jit
+def drop_ba_outlier_obs(
+    m: MapState, window_ids: jnp.ndarray, res: ba.BAResult
+) -> MapState:
+    """Unbind observations whose BA edge ended as a chi2 outlier (the
+    reference erases those observations after local BA,
+    Optimizer.cc:1438-1460)."""
+    W = window_ids.shape[0]
+    N = m.N
+    obs_w = m.kf_obs[window_ids]
+    had_pt = obs_w.reshape(-1) >= 0
+    # res.inlier = edge_valid & chi2-ok, so for a bound observation
+    # ~inlier means either chi2 outlier or a dead point — clear both.
+    clear = (had_pt & ~res.inlier).reshape(W, N)
+    new_obs_w = jnp.where(clear, -1, obs_w)
+    return m._replace(kf_obs=m.kf_obs.at[window_ids].set(new_obs_w))

@@ -1,0 +1,108 @@
+"""Immutable fixed-capacity map state — the array-of-structs replacement
+for the reference's pointer graph (Atlas/Map/KeyFrame/MapPoint,
+orb_slam3/include/{Atlas,Map,KeyFrame,MapPoint}.h).
+
+The reference guards a shared mutable graph with per-object mutexes and a
+global map-update lock (Map.h:141, KeyFrame.h:504-508). Here the whole map
+is one pytree of fixed-capacity arrays with validity masks; every update
+is a pure function old state -> new state, so pipeline stages can run on
+device without locks and snapshots are free.
+
+Key structural translation:
+- ``MapPoint::mObservations`` (point -> {KF, idx}) is inverted into
+  ``kf_obs [K, N]``: per keyframe-feature slot, the map-point id (or -1).
+  The forward direction is recovered by masked reductions; the
+  covisibility graph (KeyFrame::GetVectorCovisibleKeyFrames) is one
+  boolean matmul away: obs[K, P] @ obs[K, P]^T.
+- MapPoint bookkeeping (distinctive descriptor, normal, scale-invariance
+  band, found/visible ratios, MapPoint.h:106-204) lives in flat arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_valid: jnp.ndarray  # [K] bool
+    kf_R: jnp.ndarray  # [K,3,3] Tcw rotation
+    kf_t: jnp.ndarray  # [K,3] Tcw translation
+    kf_xy: jnp.ndarray  # [K,N,2] undistorted level-0 keypoint coords
+    kf_level: jnp.ndarray  # [K,N] int32
+    kf_angle: jnp.ndarray  # [K,N]
+    kf_desc_sign: jnp.ndarray  # [K,N,256] int8
+    kf_feat_valid: jnp.ndarray  # [K,N] bool
+    kf_obs: jnp.ndarray  # [K,N] int32 map-point id or -1
+    kf_ts: jnp.ndarray  # [K] timestamps
+    # --- map points ---
+    pt_valid: jnp.ndarray  # [P] bool
+    pt_X: jnp.ndarray  # [P,3] world position
+    pt_desc_sign: jnp.ndarray  # [P,256] int8 representative descriptor
+    pt_level: jnp.ndarray  # [P] int32 reference octave (scale prediction)
+    pt_found: jnp.ndarray  # [P] int32 found counter (tracking inlier)
+    pt_visible: jnp.ndarray  # [P] int32 visible counter (in frustum)
+    pt_first_kf: jnp.ndarray  # [P] int32 creating keyframe
+
+    @property
+    def K(self) -> int:
+        return self.kf_valid.shape[0]
+
+    @property
+    def P(self) -> int:
+        return self.pt_valid.shape[0]
+
+    @property
+    def N(self) -> int:
+        return self.kf_obs.shape[1]
+
+
+def empty_map(K: int, N: int, P: int, dtype=jnp.float32) -> MapState:
+    return MapState(
+        kf_valid=jnp.zeros((K,), bool),
+        kf_R=jnp.tile(jnp.eye(3, dtype=dtype), (K, 1, 1)),
+        kf_t=jnp.zeros((K, 3), dtype),
+        kf_xy=jnp.zeros((K, N, 2), dtype),
+        kf_level=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N), dtype),
+        kf_desc_sign=jnp.zeros((K, N, 256), jnp.int8),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_obs=jnp.full((K, N), -1, jnp.int32),
+        kf_ts=jnp.zeros((K,), dtype),
+        pt_valid=jnp.zeros((P,), bool),
+        pt_X=jnp.zeros((P, 3), dtype),
+        pt_desc_sign=jnp.zeros((P, 256), jnp.int8),
+        pt_level=jnp.zeros((P,), jnp.int32),
+        pt_found=jnp.zeros((P,), jnp.int32),
+        pt_visible=jnp.zeros((P,), jnp.int32),
+        pt_first_kf=jnp.zeros((P,), jnp.int32),
+    )
+
+
+def obs_matrix(m: MapState) -> jnp.ndarray:
+    """[K, P] bool: keyframe k observes point p (the forward direction of
+    MapPoint::mObservations, recovered from kf_obs by scatter)."""
+    K, N, P = m.K, m.N, m.P
+    flat_kf = jnp.repeat(jnp.arange(K), N)
+    flat_pt = m.kf_obs.reshape(-1)
+    has = (flat_pt >= 0) & m.kf_feat_valid.reshape(-1) & m.kf_valid[flat_kf]
+    out = jnp.zeros((K, P), bool)
+    return out.at[flat_kf, jnp.clip(flat_pt, 0, P - 1)].max(has)
+
+
+def covisibility(m: MapState) -> jnp.ndarray:
+    """[K, K] int32 shared-point counts (KeyFrame::UpdateConnections
+    weights, KeyFrame.cc) — one MXU matmul over the observation matrix."""
+    obs = obs_matrix(m).astype(jnp.float32)
+    cov = obs @ obs.T
+    cov = cov * (1.0 - jnp.eye(m.K, dtype=cov.dtype))
+    return cov.astype(jnp.int32)
+
+
+def point_obs_count(m: MapState) -> jnp.ndarray:
+    """[P] number of keyframes observing each point."""
+    return jnp.sum(obs_matrix(m).astype(jnp.int32), axis=0)

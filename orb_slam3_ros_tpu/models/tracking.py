@@ -1,0 +1,187 @@
+"""Jitted tracking-stage functions: project-and-match against the map,
+motion-only pose optimization, new-point triangulation, local BA assembly.
+
+Role of the reference's ``Tracking`` per-frame pipeline
+(orb_slam3/src/Tracking.cc: TrackWithMotionModel :2893, TrackLocalMap
+:2988, SearchLocalPoints :3382) and parts of ``LocalMapping``
+(CreateNewMapPoints :388). The reference splits coarse tracking (vs last
+frame) from local-map tracking; here both collapse into two
+project-search-optimize passes against the *whole* point table — masks do
+the work of its local-point bookkeeping, and the MXU eats the larger
+distance matrix without needing the covisibility-pruned candidate sets.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import cameras, hamming, lie, matching, pose_opt, triangulate
+from ..ops.orb import Features
+from .map_state import MapState
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray  # [3,3] optimized Tcw
+    t: jnp.ndarray  # [3]
+    feat_pt: jnp.ndarray  # [N] int32: map-point id tracked by each feature (-1)
+    n_inliers: jnp.ndarray  # [] int32
+    visible_mask: jnp.ndarray  # [P] point was in frustum this frame
+    found_mask: jnp.ndarray  # [P] point was tracked as inlier
+
+
+def _project_points(m: MapState, R, t, cam_params, width, height, margin=2.0):
+    Xc = jnp.einsum("ij,pj->pi", R, m.pt_X) + t
+    uv = cameras.pinhole_project_nodist(cam_params, Xc)
+    ok = (
+        m.pt_valid
+        & (Xc[:, 2] > 0.05)
+        & cameras.in_image(uv, width, height, margin)
+    )
+    return uv, ok
+
+
+def _match_and_pose(
+    m: MapState, feats: Features, R, t, cam_params, width, height, radius,
+    scale, rounds, iters,
+):
+    uv_proj, proj_ok = _project_points(m, R, t, cam_params, width, height)
+    idx, dist = matching.search_by_projection(
+        uv_proj, proj_ok, m.pt_level, m.pt_desc_sign, feats,
+        radius=radius, scale=scale, max_dist=hamming.TH_HIGH, ratio=0.9,
+    )  # per-point best feature
+    matched = idx >= 0
+    fidx = jnp.clip(idx, 0, feats.xy.shape[0] - 1)
+    obs_uv = feats.xy[fidx]
+    inv_sigma2 = (1.0 / scale ** (2.0 * feats.level[fidx].astype(jnp.float32)))
+    res = pose_opt.pose_optimization(
+        R, t, m.pt_X, obs_uv, inv_sigma2, matched, cam_params,
+        rounds=rounds, iters_per_round=iters,
+    )
+    return res, idx, proj_ok
+
+
+@partial(jax.jit, static_argnames=("width", "height", "scale"))
+def track_against_map(
+    m: MapState,
+    feats: Features,
+    R_pred: jnp.ndarray,
+    t_pred: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    width: int,
+    height: int,
+    scale: float = 1.2,
+) -> TrackResult:
+    """Two-pass project/match/optimize against the full point table.
+
+    Pass 1: wide radius from the motion-model pose (the reference's
+    TrackWithMotionModel radius th=7..15 on last-frame points).
+    Pass 2: tight radius from the refined pose (TrackLocalMap th=1..3).
+    """
+    res1, _, _ = _match_and_pose(
+        m, feats, R_pred, t_pred, cam_params, width, height,
+        radius=15.0, scale=scale, rounds=2, iters=8,
+    )
+    res2, idx2, proj_ok = _match_and_pose(
+        m, feats, res1.R, res1.t, cam_params, width, height,
+        radius=4.0, scale=scale, rounds=3, iters=8,
+    )
+    # Invert point->feature map into per-feature point ids (inliers only).
+    P = m.P
+    N = feats.xy.shape[0]
+    keep = (idx2 >= 0) & res2.inlier
+    fidx = jnp.clip(idx2, 0, N - 1)
+    feat_pt = jnp.full((N,), -1, jnp.int32)
+    feat_pt = feat_pt.at[fidx].max(
+        jnp.where(keep, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+    return TrackResult(
+        R=res2.R,
+        t=res2.t,
+        feat_pt=feat_pt,
+        n_inliers=res2.n_inliers,
+        visible_mask=proj_ok,
+        found_mask=keep,
+    )
+
+
+class TriangulationResult(NamedTuple):
+    X_w: jnp.ndarray  # [N,3] candidate world points (per new-KF feature)
+    ref_feat: jnp.ndarray  # [N] matched feature idx in ref KF
+    ok: jnp.ndarray  # [N] passed all checks
+    n_new: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def triangulate_with_ref(
+    m: MapState,
+    new_kf: jnp.ndarray,
+    ref_kf: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    scale: float = 1.2,
+) -> TriangulationResult:
+    """Epipolar-search + DLT new-landmark creation between the newest
+    keyframe and a covisible reference (LocalMapping::CreateNewMapPoints,
+    orb_slam3/src/LocalMapping.cc:388-713, reduced to the best neighbor)."""
+    f_new = Features(
+        xy=m.kf_xy[new_kf], level=m.kf_level[new_kf], angle=m.kf_angle[new_kf],
+        response=jnp.zeros_like(m.kf_angle[new_kf]),
+        desc_packed=jnp.zeros((m.N, 8), jnp.uint32),
+        desc_sign=m.kf_desc_sign[new_kf], valid=m.kf_feat_valid[new_kf],
+    )
+    f_ref = Features(
+        xy=m.kf_xy[ref_kf], level=m.kf_level[ref_kf], angle=m.kf_angle[ref_kf],
+        response=jnp.zeros_like(m.kf_angle[ref_kf]),
+        desc_packed=jnp.zeros((m.N, 8), jnp.uint32),
+        desc_sign=m.kf_desc_sign[ref_kf], valid=m.kf_feat_valid[ref_kf],
+    )
+    R1, t1 = m.kf_R[new_kf], m.kf_t[new_kf]  # Tcw of new
+    R2, t2 = m.kf_R[ref_kf], m.kf_t[ref_kf]
+    K = triangulate.K_matrix(cam_params)
+    # relative: x_ref = R21 x_new + t21 with 1=new, 2=ref
+    R21 = R2 @ R1.T
+    t21 = t2 - R21 @ t1
+    R12 = R21.T
+    t12 = -R21.T @ t21
+    F12 = triangulate.fundamental_from_poses(K, K, R12, t12)
+    idx, dist = matching.search_for_triangulation(
+        f_new, f_ref, F12,
+        already_matched1=m.kf_obs[new_kf] >= 0,
+        already_matched2=m.kf_obs[ref_kf] >= 0,
+        scale=scale,
+    )
+    matched = idx >= 0
+    ridx = jnp.clip(idx, 0, m.N - 1)
+    rays1 = cameras.pinhole_unproject(cam_params, f_new.xy)
+    rays2 = cameras.pinhole_unproject(cam_params, f_ref.xy[ridx])
+    X1 = triangulate.triangulate_dlt(rays1, rays2, R21, t21)
+    X2 = X1 @ R21.T + t21
+    # Checks (mirroring CreateNewMapPoints): cheirality, parallax,
+    # reprojection both views.
+    C2_in_1 = -R21.T @ t21
+    cospar = triangulate.parallax_cos(X1, C2_in_1)
+    e1 = jnp.sum(
+        (cameras.pinhole_project_nodist(cam_params, X1) - f_new.xy) ** 2, -1
+    )
+    e2 = jnp.sum(
+        (cameras.pinhole_project_nodist(cam_params, X2) - f_ref.xy[ridx]) ** 2, -1
+    )
+    sig2_1 = scale ** (2.0 * f_new.level.astype(jnp.float32))
+    sig2_2 = scale ** (2.0 * f_ref.level[ridx].astype(jnp.float32))
+    ok = (
+        matched
+        & jnp.all(jnp.isfinite(X1), axis=-1)
+        & (X1[:, 2] > 0.02)
+        & (X2[:, 2] > 0.02)
+        & (cospar < 0.9998)
+        & (e1 < 5.991 * sig2_1)
+        & (e2 < 5.991 * sig2_2)
+    )
+    # world coords: X_w = R1^T (X1 - t1)
+    X_w = (X1 - t1) @ R1
+    return TriangulationResult(
+        X_w=X_w, ref_feat=ridx, ok=ok, n_new=jnp.sum(ok.astype(jnp.int32))
+    )

@@ -1,0 +1,101 @@
+"""Dataset-replay driver on the synthetic sequence.
+
+Role of the reference's non-ROS example drivers
+(orb_slam3/Examples/mono_euroc.cc:40-120: load images, loop TrackMonocular,
+save + evaluate trajectory) with the synthetic ray-traced room standing in
+for EuRoC (dataset blobs are unavailable in this environment).
+
+Usage:
+    python -m orb_slam3_ros_tpu.run_synth --frames 40 [--platform cpu]
+        [--height 240 --width 376] [--features 1200] [--save-traj out.txt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--width", type=int, default=376)
+    ap.add_argument("--features", type=int, default=1200)
+    ap.add_argument("--dt", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--platform", default=None, help="cpu to force CPU backend")
+    ap.add_argument("--save-traj", default=None, help="write TUM-format trajectory")
+    ap.add_argument("--json", action="store_true", help="print one summary JSON line")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from orb_slam3_ros_tpu.models.system import MonoSlam, OK
+    from orb_slam3_ros_tpu.utils import synth
+    from orb_slam3_ros_tpu.utils.evaluate_ate import ate_rmse
+
+    print(f"rendering {args.frames} frames...", file=sys.stderr, flush=True)
+    seq = synth.make_sequence(
+        n_frames=args.frames, height=args.height, width=args.width,
+        dt=args.dt, seed=args.seed,
+    )
+    slam = MonoSlam(
+        height=args.height, width=args.width, cam_params=seq.cam_params,
+        n_features=args.features, max_keyframes=64, max_points=8192,
+    )
+    t_start = time.time()
+    tracked = 0
+    for i in range(args.frames):
+        T = slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        tracked += T is not None
+    wall = time.time() - t_start
+
+    ts = np.asarray([t for t, _ in slam.trajectory])
+    est = (
+        np.stack([T[:3, 3] for _, T in slam.trajectory])
+        if slam.trajectory
+        else np.zeros((0, 3))
+    )
+    rmse, n, scale = (
+        ate_rmse(ts, est, seq.timestamps.astype(np.float64), seq.t_wc)
+        if len(est) >= 3
+        else (float("inf"), 0, 1.0)
+    )
+
+    if args.save_traj:
+        from orb_slam3_ros_tpu.utils.trajectory import save_tum
+
+        save_tum(args.save_traj, slam.trajectory)
+
+    summary = {
+        "frames": args.frames,
+        "tracked": tracked,
+        "state_ok": slam.state == OK,
+        "n_keyframes": slam.n_kf,
+        "n_points": slam.n_pts,
+        "ate_rmse_m": round(rmse, 4),
+        "ate_scale": round(scale, 4),
+        "fps": round(args.frames / wall, 2),
+        "wall_s": round(wall, 2),
+        "per_stage_ms": {
+            k: round(1000 * v[0], 1) for k, v in slam.timing_summary().items()
+        },
+    }
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        for k, v in summary.items():
+            print(f"{k}: {v}")
+    return 0 if (slam.state == OK and rmse < 0.2) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
