@@ -1,0 +1,497 @@
+"""Visual-inertial bundle adjustment + IMU initialization solvers.
+
+Role of the reference's inertial optimizers (orb_slam3/src/Optimizer.cc):
+``LocalInertialBA`` :2528 (temporal window, 15-dof body states, visual +
+preintegration + bias-walk edges), ``FullInertialBA`` :392,
+``InertialOptimization`` :3187/:3372 (gravity direction, scale, shared
+biases, velocities with poses fixed) — and of the custom g2o factor zoo
+they drive (G2oTypes.h: VertexPose/Velocity/GyroBias/AccBias/GDir/Scale,
+EdgeInertial/EdgeInertialGS/EdgeGyroRW/EdgeAccRW).
+
+TPU-first: the analytic Jacobians that fill G2oTypes.cc (863 LoC) are
+replaced by forward-mode AD of the residual functions at the
+linearization point — exact, fused into the same XLA program, and far
+harder to get wrong. States are stacked arrays; factors are fixed-
+capacity edge tables; the landmark block is Schur-eliminated like ba.py
+with 15-dim body blocks.
+
+Body state per keyframe: (R_wb [3,3], p_wb [3], v_w [3], bg [3], ba [3]).
+Perturbation (15): [phi, dp, dv, dbg, dba] with R <- R exp(phi^),
+p <- p + R dp (body-frame), the rest additive.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cameras, imu, lie, robust
+
+
+class VIStates(NamedTuple):
+    R_wb: jnp.ndarray  # [K,3,3]
+    p_wb: jnp.ndarray  # [K,3]
+    v_w: jnp.ndarray  # [K,3]
+    bg: jnp.ndarray  # [K,3]
+    ba: jnp.ndarray  # [K,3]
+
+
+class VIBAProblem(NamedTuple):
+    states: VIStates
+    kf_fixed: jnp.ndarray  # [K] bool (pose+vel+bias all fixed)
+    kf_valid: jnp.ndarray  # [K]
+    X: jnp.ndarray  # [P,3]
+    pt_valid: jnp.ndarray  # [P]
+    # visual edges
+    cam_idx: jnp.ndarray  # [E]
+    pt_idx: jnp.ndarray  # [E]
+    uv: jnp.ndarray  # [E,2]
+    inv_sigma2: jnp.ndarray  # [E]
+    edge_valid: jnp.ndarray  # [E]
+    # inertial edges (consecutive KF pairs i -> j)
+    ie_i: jnp.ndarray  # [Q] int32
+    ie_j: jnp.ndarray  # [Q]
+    ie_preint: imu.Preintegrated  # stacked [Q, ...]
+    ie_valid: jnp.ndarray  # [Q]
+    # calibration
+    cam_params: jnp.ndarray  # [9]
+    R_bc: jnp.ndarray  # [3,3] camera-in-body
+    t_bc: jnp.ndarray  # [3]
+
+
+def _apply_pert(R, p, v, bg, ba, eps):
+    """15-dim state perturbation."""
+    R2 = R @ lie.so3_exp(eps[0:3])
+    p2 = p + R @ eps[3:6]
+    return R2, p2, v + eps[6:9], bg + eps[9:12], ba + eps[12:15]
+
+
+def _visual_residual(eps_c, eps_p, R, p, X, uv, cam_params, R_bc, t_bc):
+    """Reprojection residual of a world point through the body pose
+    (EdgeMono with ImuCamPose projection, G2oTypes.h:342)."""
+    R2 = R @ lie.so3_exp(eps_c[0:3])
+    p2 = p + R @ eps_c[3:6]
+    Xw = X + eps_p
+    Xb = R2.T @ (Xw - p2)
+    Xc = R_bc.T @ (Xb - t_bc)
+    return cameras.pinhole_project_nodist(cam_params, Xc) - uv
+
+
+def _inertial_residual24(eps, Ri, pi, vi, bgi, bai, Rj, pj, vj, preint):
+    """9-dim preintegration residual as a function of the 24-dim stacked
+    perturbation [state_i(15), pose_j(6), dv_j(3)] (EdgeInertial)."""
+    Ri2, pi2, vi2, bgi2, bai2 = _apply_pert(Ri, pi, vi, bgi, bai, eps[0:15])
+    Rj2 = Rj @ lie.so3_exp(eps[15:18])
+    pj2 = pj + Rj @ eps[18:21]
+    vj2 = vj + eps[21:24]
+    b1 = jnp.concatenate([bgi2, bai2])
+    return imu.inertial_residual(Ri2, pi2, vi2, b1, Rj2, pj2, vj2, preint)
+
+
+def _info_from_cov(C, dim_slice, eps=1e-8):
+    """Robust inverse of a covariance block (the reference takes
+    ``.inverse()`` of the 9x9 / 3x3 blocks, G2oTypes.h:509)."""
+    Cb = C[dim_slice, dim_slice]
+    Cb = 0.5 * (Cb + Cb.T) + eps * jnp.eye(Cb.shape[0], dtype=C.dtype)
+    return jnp.linalg.inv(Cb)
+
+
+class VIBAResult(NamedTuple):
+    states: VIStates
+    X: jnp.ndarray
+    cost: jnp.ndarray
+    chi2_visual: jnp.ndarray  # [E]
+    inlier: jnp.ndarray  # [E]
+
+
+@partial(jax.jit, static_argnames=("n_iters", "use_robust"))
+def vi_bundle_adjust(
+    prob: VIBAProblem,
+    n_iters: int = 8,
+    chi2_th: float = robust.CHI2_MONO,
+    use_robust: bool = True,
+    bias_prior_g: float = 0.0,
+    bias_prior_a: float = 0.0,
+    lam0: float = 1e-3,
+) -> VIBAResult:
+    """Joint visual-inertial LM with Schur-eliminated landmarks.
+
+    ``bias_prior_*``: zero-mean bias priors (the reference's
+    priorG/priorA schedule during IMU init, LocalMapping.cc:184-227 /
+    Optimizer.cc:392 FullInertialBA with EdgePriorGyro/Acc).
+    """
+    st0 = prob.states
+    K = st0.R_wb.shape[0]
+    P = prob.X.shape[0]
+    D = 15
+    dtype = prob.X.dtype
+    delta2 = chi2_th
+
+    ie_info = jax.vmap(lambda C: _info_from_cov(C, slice(0, 9)))(prob.ie_preint.C)
+    # Bias random-walk info from the walk blocks of the covariance
+    # (EdgeGyroRW/EdgeAccRW use C[9:12]/[12:15], G2oTypes.h:635).
+    info_bgw = jax.vmap(lambda C: _info_from_cov(C, slice(9, 12)))(prob.ie_preint.C)
+    info_baw = jax.vmap(lambda C: _info_from_cov(C, slice(12, 15)))(prob.ie_preint.C)
+
+    vres_fn = jax.vmap(
+        lambda R, p, X, uv: _visual_residual(
+            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, p, X, uv,
+            prob.cam_params, prob.R_bc, prob.t_bc,
+        )
+    )
+    vjac_fn = jax.vmap(
+        lambda R, p, X, uv: (
+            jax.jacfwd(
+                lambda e: _visual_residual(
+                    e, jnp.zeros(3, dtype), R, p, X, uv,
+                    prob.cam_params, prob.R_bc, prob.t_bc,
+                )
+            )(jnp.zeros(6, dtype)),
+            jax.jacfwd(
+                lambda e: _visual_residual(
+                    jnp.zeros(6, dtype), e, R, p, X, uv,
+                    prob.cam_params, prob.R_bc, prob.t_bc,
+                )
+            )(jnp.zeros(3, dtype)),
+        )
+    )
+    ires_fn = jax.vmap(
+        lambda Ri, pi, vi, bgi, bai, Rj, pj, vj, pre: _inertial_residual24(
+            jnp.zeros(24, dtype), Ri, pi, vi, bgi, bai, Rj, pj, vj, pre
+        )
+    )
+    ijac_fn = jax.vmap(
+        lambda Ri, pi, vi, bgi, bai, Rj, pj, vj, pre: jax.jacfwd(
+            lambda e: _inertial_residual24(e, Ri, pi, vi, bgi, bai, Rj, pj, vj, pre)
+        )(jnp.zeros(24, dtype))
+    )
+
+    def gather_visual(st: VIStates, X):
+        R = st.R_wb[prob.cam_idx]
+        p = st.p_wb[prob.cam_idx]
+        Xe = X[prob.pt_idx]
+        r = vres_fn(R, p, Xe, prob.uv)
+        return r
+
+    def total_cost(st, X):
+        r = gather_visual(st, X)
+        chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
+        if use_robust:
+            s = chi2
+            rho = jnp.where(
+                s <= delta2, s, 2.0 * jnp.sqrt(delta2 * jnp.maximum(s, 1e-12)) - delta2
+            )
+        else:
+            rho = chi2
+        c_vis = jnp.sum(jnp.where(prob.edge_valid, rho, 0.0))
+        ri = ires_fn(
+            st.R_wb[prob.ie_i], st.p_wb[prob.ie_i], st.v_w[prob.ie_i],
+            st.bg[prob.ie_i], st.ba[prob.ie_i],
+            st.R_wb[prob.ie_j], st.p_wb[prob.ie_j], st.v_w[prob.ie_j],
+            prob.ie_preint,
+        )
+        c_in = jnp.sum(
+            jnp.where(
+                prob.ie_valid, jnp.einsum("qi,qij,qj->q", ri, ie_info, ri), 0.0
+            )
+        )
+        dbg = st.bg[prob.ie_j] - st.bg[prob.ie_i]
+        dba = st.ba[prob.ie_j] - st.ba[prob.ie_i]
+        c_rw = jnp.sum(
+            jnp.where(
+                prob.ie_valid,
+                jnp.einsum("qi,qij,qj->q", dbg, info_bgw, dbg)
+                + jnp.einsum("qi,qij,qj->q", dba, info_baw, dba),
+                0.0,
+            )
+        )
+        c_prior = bias_prior_g * jnp.sum(st.bg * st.bg) + bias_prior_a * jnp.sum(
+            st.ba * st.ba
+        )
+        return c_vis + c_in + c_rw + c_prior
+
+    # ``kf_fixed`` freezes only the 6-dof pose (the reference's fixed KFs
+    # get a fixed VertexPose but their velocity/bias vertices stay free,
+    # Optimizer.cc FullInertialBA/LocalInertialBA); velocities and biases
+    # are free for every valid keyframe.
+    free_pose = (prob.kf_valid & ~prob.kf_fixed).astype(dtype)  # [K]
+    free_vb = prob.kf_valid.astype(dtype)
+    free_d = jnp.concatenate(
+        [
+            jnp.repeat(free_pose[:, None], 6, axis=1),
+            jnp.repeat(free_vb[:, None], 9, axis=1),
+        ],
+        axis=1,
+    )  # [K, 15]
+    free = free_pose  # pose gate used for the rotation/position update
+
+    def step(carry, _):
+        st, X, lam, cost = carry
+        H = jnp.zeros((K, K, D, D), dtype)
+        g = jnp.zeros((K, D), dtype)
+
+        # ---- visual edges ----
+        Re = st.R_wb[prob.cam_idx]
+        pe = st.p_wb[prob.cam_idx]
+        Xe = X[prob.pt_idx]
+        r = vres_fn(Re, pe, Xe, prob.uv)
+        Jc6, Jp = vjac_fn(Re, pe, Xe, prob.uv)  # [E,2,6], [E,2,3]
+        chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
+        w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
+        w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)
+        JcW = Jc6 * w[:, None, None]
+        H = H.at[prob.cam_idx, prob.cam_idx, :6, :6].add(
+            jnp.einsum("eia,eib->eab", JcW, Jc6)
+        )
+        g = g.at[prob.cam_idx, :6].add(-jnp.einsum("eia,ei->ea", JcW, r))
+        Hpp = jnp.zeros((P, 3, 3), dtype).at[prob.pt_idx].add(
+            jnp.einsum("eia,eib->eab", Jp * w[:, None, None], Jp)
+        )
+        gp = jnp.zeros((P, 3), dtype).at[prob.pt_idx].add(
+            -jnp.einsum("eia,ei->ea", Jp * w[:, None, None], r)
+        )
+        Wcp = (
+            jnp.zeros((K * P, 6, 3), dtype)
+            .at[prob.cam_idx * P + prob.pt_idx]
+            .add(jnp.einsum("eia,eib->eab", JcW, Jp))
+            .reshape(K, P, 6, 3)
+        )
+
+        # ---- inertial edges ----
+        ri = ires_fn(
+            st.R_wb[prob.ie_i], st.p_wb[prob.ie_i], st.v_w[prob.ie_i],
+            st.bg[prob.ie_i], st.ba[prob.ie_i],
+            st.R_wb[prob.ie_j], st.p_wb[prob.ie_j], st.v_w[prob.ie_j],
+            prob.ie_preint,
+        )  # [Q,9]
+        Ji = ijac_fn(
+            st.R_wb[prob.ie_i], st.p_wb[prob.ie_i], st.v_w[prob.ie_i],
+            st.bg[prob.ie_i], st.ba[prob.ie_i],
+            st.R_wb[prob.ie_j], st.p_wb[prob.ie_j], st.v_w[prob.ie_j],
+            prob.ie_preint,
+        )  # [Q,9,24]
+        wq = prob.ie_valid.astype(dtype)
+        InfoW = ie_info * wq[:, None, None]
+        JtI = jnp.einsum("qia,qij->qaj", Ji, InfoW)  # [Q,24,9]
+        Hq = jnp.einsum("qaj,qjb->qab", JtI, Ji)  # [Q,24,24]
+        gq = -jnp.einsum("qaj,qj->qa", JtI, ri)  # [Q,24]
+        ii, jj = prob.ie_i, prob.ie_j
+        H = H.at[ii, ii].add(Hq[:, 0:15, 0:15])
+        H = H.at[jj, jj, 0:6, 0:6].add(Hq[:, 15:21, 15:21])
+        H = H.at[jj, jj, 0:6, 6:9].add(Hq[:, 15:21, 21:24])
+        H = H.at[jj, jj, 6:9, 0:6].add(Hq[:, 21:24, 15:21])
+        H = H.at[jj, jj, 6:9, 6:9].add(Hq[:, 21:24, 21:24])
+        H = H.at[ii, jj, :, 0:6].add(Hq[:, 0:15, 15:21])
+        H = H.at[ii, jj, :, 6:9].add(Hq[:, 0:15, 21:24])
+        H = H.at[jj, ii, 0:6, :].add(Hq[:, 15:21, 0:15])
+        H = H.at[jj, ii, 6:9, :].add(Hq[:, 21:24, 0:15])
+        g = g.at[ii].add(gq[:, 0:15])
+        g = g.at[jj, 0:6].add(gq[:, 15:21])
+        g = g.at[jj, 6:9].add(gq[:, 21:24])
+
+        # ---- bias random-walk edges (r = b_j - b_i) ----
+        dbg = st.bg[jj] - st.bg[ii]
+        dba = st.ba[jj] - st.ba[ii]
+        for info, dvec, off in ((info_bgw, dbg, 9), (info_baw, dba, 12)):
+            infoW = info * wq[:, None, None]
+            H = H.at[ii, ii, off : off + 3, off : off + 3].add(infoW)
+            H = H.at[jj, jj, off : off + 3, off : off + 3].add(infoW)
+            H = H.at[ii, jj, off : off + 3, off : off + 3].add(-infoW)
+            H = H.at[jj, ii, off : off + 3, off : off + 3].add(-infoW)
+            gv = jnp.einsum("qij,qj->qi", infoW, dvec)
+            g = g.at[ii, off : off + 3].add(gv)
+            g = g.at[jj, off : off + 3].add(-gv)
+
+        # ---- bias priors (pull to zero) ----
+        if bias_prior_g or bias_prior_a:
+            diag_idx = jnp.arange(K)
+            pr = jnp.zeros((D,), dtype)
+            pr = pr.at[9:12].set(bias_prior_g).at[12:15].set(bias_prior_a)
+            H = H.at[diag_idx, diag_idx].add(jnp.diag(pr))
+            g = g - jnp.concatenate(
+                [
+                    jnp.zeros((K, 9), dtype),
+                    bias_prior_g * st.bg,
+                    bias_prior_a * st.ba,
+                ],
+                axis=1,
+            )
+
+        # ---- damping + fixed masking + Schur ----
+        eye = jnp.eye(D, dtype=dtype)
+        diagH = jnp.diagonal(H[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1)
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            (lam * diagH + 1e-6)[..., :, None] * eye
+        )
+        Hpp_d = Hpp + (
+            lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-6
+        )[..., :, None] * jnp.eye(3, dtype=dtype)
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Y = jnp.einsum("kpab,pbc->kpac", Wcp, Hpp_inv)  # [K,P,6,3]
+        S_vis = -jnp.einsum("kpac,lpbc->klab", Y, Wcp)  # [K,K,6,6]
+        H = H.at[:, :, :6, :6].add(S_vis)
+        rhs = g.at[:, :6].add(-jnp.einsum("kpab,pb->ka", Y, gp))
+
+        Hm = H * free_d[:, None, :, None] * free_d[None, :, None, :]
+        Hm = Hm.at[jnp.arange(K), jnp.arange(K)].add(
+            jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(1.0 - free_d)
+        )
+        rhs = rhs * free_d
+        delta = jnp.linalg.solve(
+            Hm.transpose(0, 2, 1, 3).reshape(K * D, K * D), rhs.reshape(K * D)
+        ).reshape(K, D)
+        delta = delta * free_d
+
+        rhs_p = gp - jnp.einsum("kpab,ka->pb", Wcp, delta[:, :6])
+        delta_p = jnp.einsum("pab,pb->pa", Hpp_inv, rhs_p) * prob.pt_valid[:, None].astype(dtype)
+
+        # candidate update
+        newR = jnp.einsum("kij,kjl->kil", st.R_wb, lie.so3_exp(delta[:, 0:3]))
+        newR = lie.normalize_rotation(newR)
+        newp = st.p_wb + jnp.einsum("kij,kj->ki", st.R_wb, delta[:, 3:6])
+        st_new = VIStates(
+            R_wb=jnp.where(free[:, None, None] > 0, newR, st.R_wb),
+            p_wb=jnp.where(free[:, None] > 0, newp, st.p_wb),
+            v_w=st.v_w + delta[:, 6:9],
+            bg=st.bg + delta[:, 9:12],
+            ba=st.ba + delta[:, 12:15],
+        )
+        X_new = X + delta_p
+        cost_new = total_cost(st_new, X_new)
+        better = cost_new < cost
+        st = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(better, (1,) * a.ndim), b, a
+            ),
+            st, st_new,
+        )
+        X = jnp.where(better, X_new, X)
+        lam = jnp.where(better, jnp.maximum(lam * 0.4, 1e-8), jnp.minimum(lam * 5.0, 1e6))
+        cost = jnp.where(better, cost_new, cost)
+        return (st, X, lam, cost), None
+
+    cost0 = total_cost(st0, prob.X)
+    (st, X, lam, cost), _ = jax.lax.scan(
+        step, (st0, prob.X, jnp.asarray(lam0, dtype), cost0), None, length=n_iters
+    )
+    r = gather_visual(st, X)
+    chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
+    inlier = prob.edge_valid & (chi2 <= chi2_th)
+    return VIBAResult(states=st, X=X, cost=cost, chi2_visual=chi2, inlier=inlier)
+
+
+# ---------------------------------------------------------------------------
+# IMU initialization: gravity direction + scale + shared biases + velocities
+# ---------------------------------------------------------------------------
+
+
+class InertialInitResult(NamedTuple):
+    Rwg: jnp.ndarray  # [3,3] gravity-alignment rotation (g_w = Rwg * g_ref)
+    scale: jnp.ndarray  # []
+    bg: jnp.ndarray  # [3]
+    ba: jnp.ndarray  # [3]
+    v_w: jnp.ndarray  # [K,3]
+    cost: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def inertial_init(
+    R_wb: jnp.ndarray,
+    p_wb: jnp.ndarray,
+    kf_valid: jnp.ndarray,
+    ie_i: jnp.ndarray,
+    ie_j: jnp.ndarray,
+    ie_preint: imu.Preintegrated,
+    ie_valid: jnp.ndarray,
+    prior_g: float = 1e2,
+    prior_a: float = 1e6,
+    n_iters: int = 30,
+    fix_scale: bool = False,
+) -> InertialInitResult:
+    """Estimate gravity direction, metric scale, shared biases, and
+    per-KF velocities with poses fixed (Optimizer::InertialOptimization,
+    Optimizer.cc:3187-3370, driven by LocalMapping::InitializeIMU).
+
+    The residual is the preintegration factor evaluated on *scaled*
+    positions and rotated gravity:
+      p_i' = s * p_i,  g_w = Rwg @ (0,0,-G).
+    States: [dtheta_g(2), dlog_s(1), bg(3), ba(3), v(3K)].
+    """
+    K = R_wb.shape[0]
+    dtype = R_wb.dtype
+    ie_info = jax.vmap(lambda C: _info_from_cov(C, slice(0, 9)))(ie_preint.C)
+    g_ref = jnp.asarray([0.0, 0.0, -imu.GRAVITY], dtype)
+    nS = 9 + 3 * K
+
+    def unpack(x):
+        # gravity perturbation only about x/y (2 dof), scale as log
+        dth = jnp.concatenate([x[0:2], jnp.zeros((1,), dtype)])
+        return dth, x[2], x[3:6], x[6:9], x[9:].reshape(K, 3)
+
+    def residuals(x, Rwg0, s0):
+        dth, dls, bg, ba, v = unpack(x)
+        Rwg = Rwg0 @ lie.so3_exp(dth)
+        s = s0 * jnp.exp(dls) if not fix_scale else s0
+        g_w = Rwg @ g_ref
+        b = jnp.concatenate([bg, ba])
+
+        def one(q):
+            i, j = ie_i[q], ie_j[q]
+            pre = jax.tree.map(lambda a: a[q], ie_preint)
+            return imu.inertial_residual(
+                R_wb[i], s * p_wb[i], v[i], b,
+                R_wb[j], s * p_wb[j], v[j], pre, gravity=g_w,
+            )
+
+        return jax.vmap(one)(jnp.arange(ie_i.shape[0]))
+
+    def cost_of(x, Rwg0, s0):
+        r = residuals(x, Rwg0, s0)
+        c = jnp.sum(
+            jnp.where(ie_valid, jnp.einsum("qi,qij,qj->q", r, ie_info, r), 0.0)
+        )
+        _, _, bg, ba, _ = unpack(x)
+        return c + prior_g * jnp.sum(bg * bg) + prior_a * jnp.sum(ba * ba)
+
+    Rwg0 = jnp.eye(3, dtype=dtype)
+    s0 = jnp.asarray(1.0, dtype)
+    x0 = jnp.zeros((nS,), dtype)
+
+    def lm_step(carry, _):
+        x, lam, cost = carry
+        J = jax.jacfwd(lambda xx: residuals(xx, Rwg0, s0))(x)  # [Q,9,nS]
+        r = residuals(x, Rwg0, s0)
+        wq = ie_valid.astype(dtype)
+        JtI = jnp.einsum("qia,qij->qaj", J, ie_info * wq[:, None, None])
+        H = jnp.einsum("qaj,qjb->ab", JtI, J)
+        g = -jnp.einsum("qaj,qj->a", JtI, r)
+        # priors
+        pr = jnp.zeros((nS,), dtype).at[3:6].set(prior_g).at[6:9].set(prior_a)
+        H = H + jnp.diag(pr)
+        g = g - pr * x
+        Hd = H + (lam * jnp.diag(H).clip(1e-8) + 1e-8) * jnp.eye(nS, dtype=dtype)
+        dx = jnp.linalg.solve(Hd, g)
+        x_new = x + dx
+        cost_new = cost_of(x_new, Rwg0, s0)
+        better = cost_new < cost
+        x = jnp.where(better, x_new, x)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 6.0, 1e8))
+        cost = jnp.where(better, cost_new, cost)
+        return (x, lam, cost), None
+
+    cost0 = cost_of(x0, Rwg0, s0)
+    (x, lam, cost), _ = jax.lax.scan(
+        lm_step, (x0, jnp.asarray(1e-2, dtype), cost0), None, length=n_iters
+    )
+    dth, dls, bg, ba, v = unpack(x)
+    return InertialInitResult(
+        Rwg=Rwg0 @ lie.so3_exp(dth),
+        scale=s0 * jnp.exp(dls) if not fix_scale else s0,
+        bg=bg,
+        ba=ba,
+        v_w=v,
+        cost=cost,
+    )
