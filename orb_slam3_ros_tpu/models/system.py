@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ba, hamming, lie, matching, orb, ransac
-from . import local_mapping, map_state, tracking
+from . import local_mapping, map_state, map_updates, tracking
 
 NOT_INITIALIZED = 0
 OK = 1
@@ -46,8 +46,15 @@ class MonoSlam:
         kf_every: int = 5,
         kf_min_inliers: int = 60,
         local_ba_iters: int = 6,
+        enable_loop_closing: bool = False,
+        track_window: Optional[int] = None,
         seed: int = 0,
     ):
+        # ``track_window``: only project points created by the last W
+        # keyframes (the reference's local-map tracking; None = whole
+        # map, which makes revisits re-acquire old landmarks and close
+        # small loops implicitly).
+        self.track_window = track_window
         self.height, self.width = height, width
         self.cam_params = jnp.asarray(cam_params)
         self.config = orb.default_config(height, width, n_features=n_features)
@@ -81,7 +88,11 @@ class MonoSlam:
         self.timing = {}
 
         self._extract = jax.jit(lambda im: orb.extract(im, self.config))
-        self._ba = local_mapping  # namespace alias
+        self.loop_closer = None
+        if enable_loop_closing:
+            from .loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser()
 
     # ------------------------------------------------------------------
     def _log_pose(self, ts):
@@ -111,10 +122,47 @@ class MonoSlam:
         elif self.state == OK:
             out = self._track(feats, ts)
         else:
-            out = None
+            out = self._try_relocalize(feats, ts)
         self._tic("track", t0)
         self.frame_id += 1
         return out
+
+    def _try_relocalize(self, feats, ts):
+        """Relocalization after tracking loss (role of
+        ``Tracking::Relocalization``, Tracking.cc:3648: BoW candidates +
+        PnP RANSAC + guided matching). Here: retrieval candidates, then
+        the standard coarse-to-fine projection tracking seeded at each
+        candidate keyframe's pose — the wide first pass plays the role of
+        the PnP hypothesis search."""
+        from ..ops import retrieval
+
+        if self.n_kf < 2:
+            return None
+        sigs = retrieval.kf_signatures(self.map.kf_desc_sign, self.map.kf_feat_valid)
+        q = retrieval.signature(feats.desc_sign, feats.valid)
+        cand_ids, _ = retrieval.detect_candidates(
+            q, sigs, self.map.kf_valid, jnp.zeros((self.K_cap,), bool),
+            min_common_score=0.0,
+        )
+        for c in np.asarray(jax.device_get(cand_ids)):
+            if c < 0:
+                continue
+            R0 = self.map.kf_R[int(c)]
+            t0_ = self.map.kf_t[int(c)]
+            res = tracking.track_against_map(
+                self.map, feats, R0, t0_, self.cam_params,
+                self.width, self.height,
+            )
+            n_inl, R_new, t_new = jax.device_get((res.n_inliers, res.R, res.t))
+            if int(n_inl) >= 30:
+                self.R_cur = np.asarray(R_new)
+                self.t_cur = np.asarray(t_new)
+                self.vel_R = np.eye(3, dtype=np.float32)
+                self.vel_t = np.zeros(3, np.float32)
+                self.state = OK
+                self._log_pose(ts)
+                return self._pose_mat()
+        return None
 
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, ts):
@@ -217,24 +265,28 @@ class MonoSlam:
     def _track(self, feats, ts):
         R_pred = self.vel_R @ self.R_cur
         t_pred = self.vel_R @ self.t_cur + self.vel_t
+        pt_mask = None
+        if self.track_window is not None:
+            pt_mask = self.map.pt_first_kf >= (self.n_kf - self.track_window)
         res = tracking.track_against_map(
             self.map, feats, jnp.asarray(R_pred), jnp.asarray(t_pred),
-            self.cam_params, self.width, self.height,
+            self.cam_params, self.width, self.height, pt_mask=pt_mask,
         )
-        n_inl = int(jax.device_get(res.n_inliers))
+        # One host sync per frame: pose + inlier count together.
+        n_inl, R_new, t_new = jax.device_get((res.n_inliers, res.R, res.t))
+        n_inl = int(n_inl)
         if n_inl < 15:
             self.state = LOST
             return None
-        R_new = np.asarray(jax.device_get(res.R))
-        t_new = np.asarray(jax.device_get(res.t))
+        R_new = np.asarray(R_new)
+        t_new = np.asarray(t_new)
         # Motion model update: vel = T_new * T_old^-1.
         self.vel_R = R_new @ self.R_cur.T
         self.vel_t = t_new - self.vel_R @ self.t_cur
         self.R_cur, self.t_cur = R_new, t_new
-        # Found/visible counters.
-        self.map = self.map._replace(
-            pt_visible=self.map.pt_visible + res.visible_mask.astype(jnp.int32),
-            pt_found=self.map.pt_found + res.found_mask.astype(jnp.int32),
+        # Found/visible counters (single fused dispatch).
+        self.map = map_updates.update_track_counters(
+            self.map, res.visible_mask, res.found_mask
         )
         self._log_pose(ts)
 
@@ -252,59 +304,36 @@ class MonoSlam:
 
     def _insert_keyframe(self, feats, ts, track_res):
         kf_id = self.n_kf
-        m = self.map
-        upd = {
-            "kf_valid": m.kf_valid.at[kf_id].set(True),
-            "kf_R": m.kf_R.at[kf_id].set(jnp.asarray(self.R_cur)),
-            "kf_t": m.kf_t.at[kf_id].set(jnp.asarray(self.t_cur)),
-            "kf_xy": m.kf_xy.at[kf_id].set(feats.xy),
-            "kf_level": m.kf_level.at[kf_id].set(feats.level),
-            "kf_angle": m.kf_angle.at[kf_id].set(feats.angle),
-            "kf_desc_sign": m.kf_desc_sign.at[kf_id].set(feats.desc_sign),
-            "kf_feat_valid": m.kf_feat_valid.at[kf_id].set(feats.valid),
-            "kf_obs": m.kf_obs.at[kf_id].set(track_res.feat_pt),
-            "kf_ts": m.kf_ts.at[kf_id].set(ts),
-        }
-        self.map = m._replace(**upd)
+        self.map = map_updates.insert_keyframe(
+            self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
+            jnp.asarray(self.t_cur), jnp.asarray(ts, jnp.float32),
+            feats, track_res.feat_pt,
+        )
         self.n_kf += 1
         self.last_kf_frame = self.frame_id
 
-        # Triangulate new points against the previous keyframe.
+        # Triangulate new points against the previous keyframe and admit
+        # them into free slots, all on device.
         tri = tracking.triangulate_with_ref(
             self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1),
             self.cam_params,
         )
-        self._admit_new_points(kf_id, tri, feats)
-        self._run_local_ba(n_iters=self.local_ba_iters)
-        self._cull_points()
-        # Keep current pose in sync with BA result.
-        self.R_cur = np.asarray(jax.device_get(self.map.kf_R[kf_id]))
-        self.t_cur = np.asarray(jax.device_get(self.map.kf_t[kf_id]))
-
-    def _admit_new_points(self, kf_id, tri, feats):
-        ok = np.asarray(jax.device_get(tri.ok))
-        n_new = int(ok.sum())
-        if n_new == 0:
-            return
-        room = self.P_cap - self.n_pts
-        take = min(n_new, room)
-        if take <= 0:
-            return
-        feat_new = np.where(ok)[0][:take].astype(np.int32)
-        feat_ref = np.asarray(jax.device_get(tri.ref_feat))[feat_new]
-        X_w = np.asarray(jax.device_get(tri.X_w))[feat_new]
-        ids = np.arange(self.n_pts, self.n_pts + take, dtype=np.int32)
-        m = self.map
-        self.map = m._replace(
-            pt_valid=m.pt_valid.at[ids].set(True),
-            pt_X=m.pt_X.at[ids].set(jnp.asarray(X_w)),
-            pt_desc_sign=m.pt_desc_sign.at[ids].set(m.kf_desc_sign[kf_id][jnp.asarray(feat_new)]),
-            pt_level=m.pt_level.at[ids].set(m.kf_level[kf_id][jnp.asarray(feat_new)]),
-            pt_first_kf=m.pt_first_kf.at[ids].set(kf_id),
-            kf_obs=m.kf_obs.at[kf_id, jnp.asarray(feat_new)].set(jnp.asarray(ids))
-            .at[kf_id - 1, jnp.asarray(feat_ref)].set(jnp.asarray(ids)),
+        self.map, n_new = map_updates.admit_new_points(
+            self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1), tri,
+            jnp.asarray(self.n_pts), jnp.asarray(self.P_cap - self.n_pts),
         )
-        self.n_pts += take
+        self._run_local_ba(n_iters=self.local_ba_iters)
+        self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
+        # One sync: admitted count + BA-refined pose.
+        n_new, R_cur, t_cur = jax.device_get(
+            (n_new, self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+        )
+        self.n_pts += int(n_new)
+        self.R_cur = np.asarray(R_cur)
+        self.t_cur = np.asarray(t_cur)
+        if self.loop_closer is not None:
+            self.key, sub = jax.random.split(self.key)
+            self.loop_closer.try_close(self, kf_id, sub)
 
     def _run_local_ba(self, n_iters):
         if self.n_kf < 2:
@@ -330,19 +359,6 @@ class MonoSlam:
         res = ba.bundle_adjust(prob, n_iters=n_iters)
         self.map = local_mapping.apply_local_ba(self.map, window_ids, res)
         self.map = local_mapping.drop_ba_outlier_obs(self.map, window_ids, res)
-
-    def _cull_points(self):
-        """MapPointCulling (LocalMapping.cc:346): kill points with a bad
-        found/visible ratio or too few observations after a grace period."""
-        m = self.map
-        obs_count = map_state.point_obs_count(m)
-        ratio_bad = (m.pt_visible >= 8) & (
-            m.pt_found.astype(jnp.float32)
-            < 0.25 * m.pt_visible.astype(jnp.float32)
-        )
-        lonely = (obs_count < 2) & ((self.n_kf - m.pt_first_kf) >= 3)
-        kill = m.pt_valid & (ratio_bad | lonely)
-        self.map = m._replace(pt_valid=m.pt_valid & ~kill)
 
     # ------------------------------------------------------------------
     def timing_summary(self):

@@ -74,6 +74,7 @@ def track_against_map(
     width: int,
     height: int,
     scale: float = 1.2,
+    pt_mask: jnp.ndarray | None = None,
 ) -> TrackResult:
     """Two-pass project/match/optimize against the full point table.
 
@@ -81,9 +82,20 @@ def track_against_map(
     TrackWithMotionModel radius th=7..15 on last-frame points).
     Pass 2: tight radius from the refined pose (TrackLocalMap th=1..3).
     """
-    res1, _, _ = _match_and_pose(
+    # Coarse-to-fine passes. Unlike the reference's grid-bucket search
+    # (whose cost grows with the window, hence th=7..15 and the separate
+    # TrackReferenceKeyFrame fallback), the dense masked distance matrix
+    # costs the same at any radius — so pass 1 is wide enough to survive
+    # a cold motion model (e.g. the first frames after initialization).
+    if pt_mask is not None:
+        m = m._replace(pt_valid=m.pt_valid & pt_mask)
+    res0, _, _ = _match_and_pose(
         m, feats, R_pred, t_pred, cam_params, width, height,
-        radius=15.0, scale=scale, rounds=2, iters=8,
+        radius=60.0, scale=scale, rounds=2, iters=8,
+    )
+    res1, _, _ = _match_and_pose(
+        m, feats, res0.R, res0.t, cam_params, width, height,
+        radius=12.0, scale=scale, rounds=2, iters=8,
     )
     res2, idx2, proj_ok = _match_and_pose(
         m, feats, res1.R, res1.t, cam_params, width, height,

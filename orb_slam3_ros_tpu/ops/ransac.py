@@ -252,6 +252,89 @@ def reconstruct_from_F(F, p1, p2, inlier, cam_params):
     return ok, R21, t21, X1, good, n_best
 
 
+def reconstruct_from_H(H, p1, p2, inlier, cam_params):
+    """Faugeras-Lustman homography decomposition: 8 candidate
+    (R, t, n) from A = K^-1 H K, cheirality-selected like the F path
+    (reference ``ReconstructH``, TwoViewReconstruction.cc:504-600 follows
+    the same Faugeras SVD construction — re-derived here from the paper's
+    closed form, batched over the 8 cases)."""
+    from . import cameras as cam_mod
+
+    K = triangulate.K_matrix(cam_params)
+    A = jnp.linalg.inv(K) @ H @ K
+    U, d, Vt = jnp.linalg.svd(A)
+    V = Vt.T
+    s_det = jnp.linalg.det(U) * jnp.linalg.det(V)
+    d1, d2, d3 = d[0], d[1], d[2]
+    # Degenerate if singular values are too close (pure rotation).
+    distinct = (d1 / jnp.maximum(d2, 1e-9) > 1.0001) & (
+        d2 / jnp.maximum(d3, 1e-9) > 1.0001
+    )
+    denom = jnp.maximum(d1 * d1 - d3 * d3, 1e-12)
+    x1m = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / denom, 0.0))
+    x3m = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / denom, 0.0))
+
+    # Case d' = +d2: theta; case d' = -d2: phi.
+    sin_t = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    cos_t = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, 1e-12)
+    sin_p = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 - d3) * d2, 1e-12)
+    cos_p = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, 1e-12)
+
+    rays1 = cam_mod.pinhole_unproject(cam_params, p1)
+    rays2 = cam_mod.pinhole_unproject(cam_params, p2)
+
+    cands = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            x1, x3 = e1 * x1m, e3 * x3m
+            # positive d'
+            st = e1 * e3 * sin_t
+            Rp = jnp.array(
+                [[cos_t, 0.0, -st], [0.0, 1.0, 0.0], [st, 0.0, cos_t]], H.dtype
+            )
+            tp = (d1 - d3) * jnp.asarray([x1, 0.0, -x3], H.dtype)
+            cands.append((s_det * U @ Rp @ Vt, U @ tp))
+            # negative d'
+            sp = e1 * e3 * sin_p
+            Rn = jnp.array(
+                [[cos_p, 0.0, sp], [0.0, -1.0, 0.0], [sp, 0.0, -cos_p]], H.dtype
+            )
+            tn = (d1 + d3) * jnp.asarray([x1, 0.0, x3], H.dtype)
+            cands.append((s_det * U @ Rn @ Vt, U @ tn))
+
+    counts, goods, Xs, Rs, ts_ = [], [], [], [], []
+    for R21, t21 in cands:
+        tn = t21 / jnp.maximum(jnp.linalg.norm(t21), 1e-12)
+        n, good, X1, _ = _check_rt(R21, tn, rays1, rays2, inlier, cam_params, p1, p2)
+        counts.append(n)
+        goods.append(good)
+        Xs.append(X1)
+        Rs.append(R21)
+        ts_.append(tn)
+    counts = jnp.stack(counts)
+    best = jnp.argmax(counts)
+    n_best = counts[best]
+    n_second = jnp.sort(counts)[-2]
+    n_inl = jnp.sum(inlier.astype(jnp.int32))
+    ok = (
+        distinct
+        & (n_best > jnp.maximum(jnp.int32(30), (0.75 * n_inl).astype(jnp.int32)))
+        & (n_second < (0.85 * n_best).astype(jnp.int32))
+    )
+    return (
+        ok,
+        jnp.stack(Rs)[best],
+        jnp.stack(ts_)[best],
+        jnp.stack(Xs)[best],
+        jnp.stack(goods)[best],
+        n_best,
+    )
+
+
 def two_view_init(
     xy1: jnp.ndarray,
     xy2: jnp.ndarray,
@@ -304,12 +387,27 @@ def two_view_init(
     score_F_best, _ = score_fundamental(F, xy1, xy2, match_valid, inv_sigma2)
 
     rh = score_H_best / jnp.maximum(score_H_best + score_F_best, 1e-9)
-    used_H = rh > 0.50  # reference threshold 0.40->H; we bias toward F
+    used_H = rh > 0.45  # reference selects H when rh > 0.40
 
-    ok_f, R21, t21, X1, good, n_good = reconstruct_from_F(
+    ok_f, R_f, t_f, X_f, good_f, n_f = reconstruct_from_F(
         F, xy1, xy2, inlF, cam_params
     )
-    ok = ok_f & ~used_H
+    _, inlH = score_homography(H, xy1, xy2, match_valid, inv_sigma2)
+    ok_h, R_h, t_h, X_h, good_h, n_h = reconstruct_from_H(
+        H, xy1, xy2, inlH, cam_params
+    )
+    # Prefer the selected model's reconstruction, but fall back to a
+    # passing F reconstruction when H wins the score yet fails its
+    # degeneracy/uniqueness gates (the F path has its own gates, so this
+    # only ever adds initializations that independently check out).
+    use_h = used_H & ok_h
+    ok = use_h | ok_f
+    pick = lambda a, b: jnp.where(use_h, a, b)
+    R21 = pick(R_h, R_f)
+    t21 = pick(t_h, t_f)
+    X1 = jnp.where(use_h, X_h, X_f)
+    good = jnp.where(use_h, good_h, good_f)
+    n_good = pick(n_h, n_f)
     return TwoViewResult(
         ok=ok,
         used_H=used_H,

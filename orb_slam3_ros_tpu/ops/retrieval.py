@@ -1,0 +1,94 @@
+"""Place-recognition retrieval: visual-word signatures + similarity
+scoring on the MXU.
+
+Role of the reference's DBoW2 vocabulary + ``KeyFrameDatabase`` inverted
+file (orb_slam3/Thirdparty/DBoW2/, orb_slam3/src/KeyFrameDatabase.cc:
+DetectNBestCandidates :604, DetectRelocalizationCandidates :733). The
+reference's ORB vocabulary binary is a missing large blob
+(.MISSING_LARGE_BLOBS), and a tree-descent + inverted file is a poor fit
+for TPU anyway. TPU-native replacement:
+
+- a **random anchor vocabulary**: A fixed +-1 anchor descriptors; the
+  visual word of a descriptor is its nearest anchor, found for ALL
+  descriptors of a frame with one [N, 256] x [256, A] matmul (the MXU
+  replaces the k-ary tree descent; an anchor = a leaf word).
+- a keyframe **signature** is the L2-normalized tf histogram of its
+  words; similarity of two signatures is their dot product, so scoring
+  one query against every keyframe is one [K, A] @ [A] matvec (the MXU
+  replaces the inverted file).
+
+Self-consistency is all that matters (as with the vocabulary the
+reference trains offline); anchors are seeded constants.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_WORDS = 512
+
+
+def _make_anchors(seed: int = 7, n_words: int = N_WORDS) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.choice(np.array([-1, 1], np.int8), size=(n_words, 256))
+
+
+ANCHORS = _make_anchors()
+
+
+def descriptor_words(desc_sign: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] int8 -> [N] int32 visual-word ids (nearest anchor =
+    max correlation = min Hamming)."""
+    corr = jax.lax.dot_general(
+        desc_sign,
+        jnp.asarray(ANCHORS),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [N, A]
+    return jnp.argmax(corr, axis=-1).astype(jnp.int32)
+
+
+def signature(desc_sign: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """[N,256], [N] -> [A] L2-normalized tf histogram."""
+    words = descriptor_words(desc_sign)
+    hist = jnp.zeros((N_WORDS,), jnp.float32).at[words].add(
+        valid.astype(jnp.float32)
+    )
+    return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
+
+
+def score_against(query_sig: jnp.ndarray, kf_sigs: jnp.ndarray) -> jnp.ndarray:
+    """[A] x [K, A] -> [K] cosine similarity scores."""
+    return kf_sigs @ query_sig
+
+
+@jax.jit
+def kf_signatures(kf_desc_sign: jnp.ndarray, kf_feat_valid: jnp.ndarray) -> jnp.ndarray:
+    """[K, N, 256], [K, N] -> [K, A] signatures for the whole keyframe DB."""
+    return jax.vmap(signature)(kf_desc_sign, kf_feat_valid)
+
+
+@partial(jax.jit, static_argnames=("n_best",))
+def detect_candidates(
+    query_sig: jnp.ndarray,
+    kf_sigs: jnp.ndarray,
+    kf_valid: jnp.ndarray,
+    exclude: jnp.ndarray,
+    min_common_score: float = 0.0,
+    n_best: int = 3,
+):
+    """Top-N loop/reloc candidates (DetectNBestCandidates contract:
+    exclude the connected/recent set, return the best-scoring KFs).
+
+    Returns (ids [n_best], scores [n_best]); ids are -1 where no valid
+    candidate clears ``min_common_score``.
+    """
+    scores = score_against(query_sig, kf_sigs)
+    scores = jnp.where(kf_valid & ~exclude, scores, -1.0)
+    top_scores, top_ids = jax.lax.top_k(scores, n_best)
+    ok = top_scores > min_common_score
+    return jnp.where(ok, top_ids, -1), top_scores

@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--features", type=int, default=1200)
     ap.add_argument("--dt", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--trajectory", default="orbit", choices=["orbit", "loop"])
+    ap.add_argument("--loop-closing", action="store_true")
+    ap.add_argument("--track-window", type=int, default=None)
     ap.add_argument("--platform", default=None, help="cpu to force CPU backend")
     ap.add_argument("--save-traj", default=None, help="write TUM-format trajectory")
     ap.add_argument("--json", action="store_true", help="print one summary JSON line")
@@ -45,11 +48,12 @@ def main(argv=None):
     print(f"rendering {args.frames} frames...", file=sys.stderr, flush=True)
     seq = synth.make_sequence(
         n_frames=args.frames, height=args.height, width=args.width,
-        dt=args.dt, seed=args.seed,
+        dt=args.dt, seed=args.seed, trajectory=args.trajectory,
     )
     slam = MonoSlam(
         height=args.height, width=args.width, cam_params=seq.cam_params,
         n_features=args.features, max_keyframes=64, max_points=8192,
+        enable_loop_closing=args.loop_closing, track_window=args.track_window,
     )
     t_start = time.time()
     tracked = 0
@@ -88,6 +92,9 @@ def main(argv=None):
         "per_stage_ms": {
             k: round(1000 * v[0], 1) for k, v in slam.timing_summary().items()
         },
+        "loop_closures": (
+            slam.loop_closer.closures if slam.loop_closer is not None else []
+        ),
     }
     if args.json:
         print(json.dumps(summary))

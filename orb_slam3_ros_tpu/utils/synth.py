@@ -181,6 +181,26 @@ def orbit_trajectory(n_frames: int, dt: float = 0.05, seed: int = 1):
     return np.asarray(Rs, np.float32), pos.astype(np.float32), t
 
 
+def loop_trajectory(n_frames: int, dt: float = 0.1, radius: float = 1.2):
+    """Closed circular trajectory: the camera orbits the room center
+    looking outward and returns to its start — the loop-closure test
+    case. Completes exactly one revolution over n_frames."""
+    t = np.arange(n_frames) * dt
+    th = 2 * np.pi * np.arange(n_frames) / (n_frames - 6)  # revisit at end
+    px = radius * np.cos(th)
+    py = radius * np.sin(th)
+    pz = 0.15 * np.sin(2 * th)
+    pos = np.stack([px, py, pz], axis=-1)
+    Rs = []
+    for i in range(n_frames):
+        z = np.array([np.cos(th[i]), np.sin(th[i]), 0.0])  # look outward
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(z, up); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rs.append(np.stack([x, y, z], axis=-1))
+    return np.asarray(Rs, np.float32), pos.astype(np.float32), t
+
+
 class SynthSequence(NamedTuple):
     images: np.ndarray  # [N, H, W] f32
     R_wc: np.ndarray  # [N, 3, 3]
@@ -197,6 +217,7 @@ def make_sequence(
     dt: float = 0.1,
     seed: int = 0,
     with_depth: bool = False,
+    trajectory: str = "orbit",
 ) -> SynthSequence:
     """Render a full sequence (host-side convenience for tests/bench)."""
     scene = make_room(seed=seed)
@@ -204,7 +225,10 @@ def make_sequence(
     cam = np.asarray(
         [f, f, (width - 1) / 2.0, (height - 1) / 2.0, 0, 0, 0, 0, 0], np.float32
     )
-    R_wc, t_wc, ts = orbit_trajectory(n_frames, dt=dt, seed=seed)
+    if trajectory == "loop":
+        R_wc, t_wc, ts = loop_trajectory(n_frames, dt=dt)
+    else:
+        R_wc, t_wc, ts = orbit_trajectory(n_frames, dt=dt, seed=seed)
     imgs, deps = [], []
     for i in range(n_frames):
         img, dep = render(

@@ -1,0 +1,112 @@
+"""Tests for place recognition retrieval and the loop-closing pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_ros_tpu.models.system import MonoSlam, OK
+from orb_slam3_ros_tpu.ops import retrieval
+from orb_slam3_ros_tpu.utils import synth
+from orb_slam3_ros_tpu.utils.evaluate_ate import ate_rmse
+
+
+class TestRetrieval:
+    def test_same_frame_highest_score(self, rng):
+        # Signatures of the same descriptor set match perfectly.
+        desc = jnp.asarray(rng.choice([-1, 1], size=(200, 256)).astype(np.int8))
+        valid = jnp.ones(200, bool)
+        s1 = retrieval.signature(desc, valid)
+        assert abs(float(s1 @ s1) - 1.0) < 1e-5
+        # A disjoint random set scores much lower.
+        desc2 = jnp.asarray(rng.choice([-1, 1], size=(200, 256)).astype(np.int8))
+        s2 = retrieval.signature(desc2, valid)
+        assert float(s1 @ s2) < 0.8
+
+    def test_similar_views_score_high(self, rng):
+        seq = synth.make_sequence(n_frames=12, height=240, width=376, dt=0.1)
+        from orb_slam3_ros_tpu.ops import orb
+
+        config = orb.default_config(240, 376, n_features=600)
+        ex = jax.jit(lambda im: orb.extract(im, config))
+        f = [ex(jnp.asarray(im)) for im in seq.images[:4]]
+        sigs = [retrieval.signature(x.desc_sign, x.valid) for x in f]
+        near = float(sigs[0] @ sigs[1])  # adjacent frames, mostly same view
+        # frame 3 is further along the trajectory
+        far = float(sigs[0] @ sigs[3])
+        assert near > far - 0.05  # adjacency shouldn't score lower (weak test)
+        assert near > 0.5
+
+    def test_detect_candidates_excludes(self, rng):
+        sigs = jnp.asarray(rng.normal(size=(16, retrieval.N_WORDS)).astype(np.float32))
+        sigs = sigs / jnp.linalg.norm(sigs, axis=-1, keepdims=True)
+        q = sigs[5]
+        valid = jnp.ones(16, bool)
+        exclude = jnp.zeros(16, bool).at[5].set(True)
+        ids, scores = retrieval.detect_candidates(q, sigs, valid, exclude)
+        assert 5 not in np.asarray(ids)
+
+
+class TestLoopClosingE2E:
+    @pytest.fixture(scope="class")
+    def looped_slam(self):
+        n = 70
+        seq = synth.make_sequence(
+            n_frames=n, height=240, width=376, dt=0.1, seed=5, trajectory="loop"
+        )
+        slam = MonoSlam(
+            height=240, width=376, cam_params=seq.cam_params, n_features=1200,
+            max_keyframes=48, max_points=6144, kf_every=3,
+            enable_loop_closing=True,
+        )
+        for i in range(n):
+            slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        return slam, seq
+
+    def test_closed_circle_stays_accurate(self, looped_slam):
+        """With full-map projection tracking, revisits are re-acquired by
+        the tracker itself (implicit loop closure) — the circle must come
+        back within the ATE bound without explicit PGO."""
+        slam, seq = looped_slam
+        assert slam.state == OK
+        ts = np.asarray([t for t, _ in slam.trajectory])
+        est = np.stack([T[:3, 3] for _, T in slam.trajectory])
+        rmse, n_m, s = ate_rmse(ts, est, seq.timestamps.astype(np.float64), seq.t_wc)
+        assert n_m >= 60
+        assert rmse < 0.12, f"ATE {rmse:.3f}"
+
+    def test_explicit_closure_with_local_tracking(self):
+        """With windowed (local-map) tracking — the reference's actual
+        tracking scope — the revisit creates duplicate landmarks and real
+        drift, and the explicit path (retrieval -> point matching -> Sim3
+        RANSAC -> PGO -> duplicate fusion) must detect and correct it."""
+        n = 70
+        seq = synth.make_sequence(
+            n_frames=n, height=240, width=376, dt=0.1, seed=5, trajectory="loop"
+        )
+
+        def run(close):
+            slam = MonoSlam(
+                height=240, width=376, cam_params=seq.cam_params,
+                n_features=1200, max_keyframes=48, max_points=6144,
+                kf_every=3, enable_loop_closing=close, track_window=8,
+            )
+            if close:
+                slam.loop_closer.min_gap = 8
+                slam.loop_closer.min_sim3_inliers = 15
+            for i in range(n):
+                slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+            ts = np.asarray([t for t, _ in slam.trajectory])
+            est = np.stack([T[:3, 3] for _, T in slam.trajectory])
+            rmse, n_m, _ = ate_rmse(
+                ts, est, seq.timestamps.astype(np.float64), seq.t_wc
+            )
+            return slam, rmse, n_m
+
+        slam, rmse, n_m = run(close=True)
+        assert slam.state == OK
+        assert n_m >= 55
+        assert len(slam.loop_closer.closures) > 0, (
+            "no explicit closure fired under local tracking"
+        )
+        assert rmse < 0.15, f"ATE {rmse:.3f} after closure"

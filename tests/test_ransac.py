@@ -95,3 +95,20 @@ class TestTwoViewInit:
         lines = ph1 @ np.asarray(F).T
         d = np.abs(resid) / np.linalg.norm(lines[:, :2], axis=-1)
         assert d.max() < 2.0
+
+
+class TestHomographyReconstruction:
+    def test_planar_scene_recovers_motion(self, rng):
+        X, R21, t21, p1, p2, out = two_view_scene(rng, outlier_frac=0.05, planar=True)
+        res = ransac.two_view_init(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.ones(len(p1), bool),
+            jnp.asarray(CAM), jax.random.PRNGKey(4),
+        )
+        assert bool(res.used_H)
+        assert bool(res.ok), (float(res.score_H), float(res.score_F))
+        np.testing.assert_allclose(np.asarray(res.R21), R21, atol=3e-2)
+        t_est = np.asarray(res.t21)
+        t_gt = t21 / np.linalg.norm(t21)
+        assert min(np.linalg.norm(t_est - t_gt), np.linalg.norm(t_est + t_gt)) < 0.1
+        good = np.asarray(res.good)
+        assert good.sum() > 150
