@@ -117,3 +117,44 @@ def cull_points(m: MapState, n_kf: jnp.ndarray) -> MapState:
     lonely = (obs_count < 2) & ((n_kf - m.pt_first_kf) >= 3)
     kill = m.pt_valid & (ratio_bad | lonely)
     return m._replace(pt_valid=m.pt_valid & ~kill)
+
+
+@jax.jit
+def admit_depth_points(
+    m: MapState,
+    kf_id: jnp.ndarray,
+    X_w: jnp.ndarray,  # [N,3] backprojected candidates (world)
+    cand: jnp.ndarray,  # [N] candidate mask (valid depth, unbound feature)
+    base_id: jnp.ndarray,
+    room: jnp.ndarray,
+) -> tuple[MapState, jnp.ndarray]:
+    """Create landmarks directly from per-feature depth (the stereo/RGB-D
+    point creation of ``Tracking::StereoInitialization`` /
+    ``CreateNewKeyFrame``, Tracking.cc:2371/3255). Same slot-allocation
+    discipline as ``admit_new_points``."""
+    P = m.P
+    ok = cand & m.kf_feat_valid[kf_id] & (m.kf_obs[kf_id] < 0)
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    take = ok & (rank < room)
+    slot = jnp.clip(base_id + rank, 0, P - 1)
+    n_new = jnp.sum(take.astype(jnp.int32))
+    tf = take.astype(m.pt_X.dtype)
+    ti = take.astype(jnp.int32)
+
+    pt_valid = m.pt_valid.at[slot].max(take)
+    pt_X = m.pt_X.at[slot].add(tf[:, None] * (X_w - m.pt_X[slot]))
+    desc = m.kf_desc_sign[kf_id]
+    pt_desc = m.pt_desc_sign.at[slot].add(
+        (take[:, None] * (desc.astype(jnp.int32) - m.pt_desc_sign[slot].astype(jnp.int32))).astype(jnp.int8)
+    )
+    pt_level = m.pt_level.at[slot].add(ti * (m.kf_level[kf_id] - m.pt_level[slot]))
+    pt_first = m.pt_first_kf.at[slot].add(ti * (kf_id - m.pt_first_kf[slot]))
+    new_obs = jnp.where(take, slot, m.kf_obs[kf_id])
+    return (
+        m._replace(
+            pt_valid=pt_valid, pt_X=pt_X, pt_desc_sign=pt_desc,
+            pt_level=pt_level, pt_first_kf=pt_first,
+            kf_obs=m.kf_obs.at[kf_id].set(new_obs),
+        ),
+        n_new,
+    )

@@ -208,6 +208,8 @@ class SynthSequence(NamedTuple):
     timestamps: np.ndarray  # [N]
     cam_params: np.ndarray  # [9] pinhole
     depths: np.ndarray | None
+    images_right: np.ndarray | None = None  # [N, H, W] rectified right
+    baseline: float = 0.0
 
 
 def make_sequence(
@@ -218,8 +220,12 @@ def make_sequence(
     seed: int = 0,
     with_depth: bool = False,
     trajectory: str = "orbit",
+    stereo_baseline: float = 0.0,
 ) -> SynthSequence:
-    """Render a full sequence (host-side convenience for tests/bench)."""
+    """Render a full sequence (host-side convenience for tests/bench).
+
+    ``stereo_baseline`` > 0 also renders a rectified right view (camera
+    displaced by +baseline along the camera x-axis)."""
     scene = make_room(seed=seed)
     f = 0.55 * width
     cam = np.asarray(
@@ -229,7 +235,7 @@ def make_sequence(
         R_wc, t_wc, ts = loop_trajectory(n_frames, dt=dt)
     else:
         R_wc, t_wc, ts = orbit_trajectory(n_frames, dt=dt, seed=seed)
-    imgs, deps = [], []
+    imgs, deps, imgs_r = [], [], []
     for i in range(n_frames):
         img, dep = render(
             scene, jnp.asarray(R_wc[i]), jnp.asarray(t_wc[i]), jnp.asarray(cam),
@@ -238,6 +244,15 @@ def make_sequence(
         imgs.append(np.asarray(img))
         if with_depth:
             deps.append(np.asarray(dep))
+        if stereo_baseline > 0:
+            t_r = t_wc[i] + R_wc[i] @ np.asarray(
+                [stereo_baseline, 0, 0], np.float32
+            )
+            img_r, _ = render(
+                scene, jnp.asarray(R_wc[i]), jnp.asarray(t_r), jnp.asarray(cam),
+                height=height, width=width,
+            )
+            imgs_r.append(np.asarray(img_r))
     return SynthSequence(
         images=np.stack(imgs),
         R_wc=R_wc,
@@ -245,4 +260,6 @@ def make_sequence(
         timestamps=ts,
         cam_params=cam,
         depths=np.stack(deps) if with_depth else None,
+        images_right=np.stack(imgs_r) if stereo_baseline > 0 else None,
+        baseline=stereo_baseline,
     )
