@@ -90,3 +90,100 @@ def drop_ba_outlier_obs(
     clear = (had_pt & ~res.inlier).reshape(W, N)
     new_obs_w = jnp.where(clear, -1, obs_w)
     return m._replace(kf_obs=m.kf_obs.at[window_ids].set(new_obs_w))
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def build_vi_ba(
+    m: MapState,
+    window_ids: jnp.ndarray,  # [W]
+    fixed_mask: jnp.ndarray,  # [W]
+    acc_w: jnp.ndarray,  # [W-1, S, 3] IMU blocks integrating id[i] -> id[i+1]
+    gyro_w: jnp.ndarray,  # [W-1, S, 3]
+    dts_w: jnp.ndarray,  # [W-1, S]
+    edge_ok: jnp.ndarray,  # [W-1] bool (consecutive-in-time pairs)
+    calib,
+    cam_params: jnp.ndarray,
+    scale: float = 1.2,
+):
+    """Assemble a visual-inertial local BA window (LocalInertialBA's
+    temporal-window graph, Optimizer.cc:2528): visual edges like
+    build_local_ba plus preintegration edges between consecutive window
+    keyframes, re-integrated at each KF's current gyro/acc bias estimate
+    (the reference calls Reintegrate on bias updates, ImuTypes.cc:168)."""
+    from ..ops import imu as imu_ops
+    from ..ops import viba as viba_ops
+
+    W = window_ids.shape[0]
+    N = m.N
+    P = m.P
+    obs = m.kf_obs[window_ids]
+    pt_idx = jnp.clip(obs.reshape(-1), 0, P - 1)
+    edge_valid = (
+        (obs.reshape(-1) >= 0)
+        & m.kf_feat_valid[window_ids].reshape(-1)
+        & m.kf_valid[window_ids].repeat(N)
+        & m.pt_valid[pt_idx]
+    )
+    inv_sigma2 = 1.0 / scale ** (
+        2.0 * m.kf_level[window_ids].reshape(-1).astype(jnp.float32)
+    )
+    R_wb, p_wb = viba_ops.body_from_cam(
+        m.kf_R[window_ids], m.kf_t[window_ids], calib.R_bc, calib.t_bc
+    )
+    states = viba_ops.VIStates(
+        R_wb=R_wb,
+        p_wb=p_wb,
+        v_w=m.kf_v[window_ids],
+        bg=m.kf_bg[window_ids],
+        ba=m.kf_ba[window_ids],
+    )
+    b_lin = jnp.concatenate(
+        [m.kf_bg[window_ids][:-1], m.kf_ba[window_ids][:-1]], axis=1
+    )  # [W-1, 6] linearize each edge at the earlier KF's bias
+    pre = jax.vmap(
+        lambda a, w, d, b: imu_ops.preintegrate(a, w, d, b, calib)
+    )(acc_w, gyro_w, dts_w, b_lin)
+    ie_valid = (
+        edge_ok
+        & m.kf_valid[window_ids][:-1]
+        & m.kf_valid[window_ids][1:]
+        & (pre.dT > 1e-6)
+    )
+    return viba_ops.VIBAProblem(
+        states=states,
+        kf_fixed=fixed_mask,
+        kf_valid=m.kf_valid[window_ids],
+        X=m.pt_X,
+        pt_valid=m.pt_valid,
+        cam_idx=jnp.repeat(jnp.arange(W, dtype=jnp.int32), N),
+        pt_idx=pt_idx.astype(jnp.int32),
+        uv=m.kf_xy[window_ids].reshape(-1, 2),
+        inv_sigma2=inv_sigma2,
+        edge_valid=edge_valid,
+        ie_i=jnp.arange(W - 1, dtype=jnp.int32),
+        ie_j=jnp.arange(1, W, dtype=jnp.int32),
+        ie_preint=pre,
+        ie_valid=ie_valid,
+        cam_params=cam_params,
+        R_bc=calib.R_bc,
+        t_bc=calib.t_bc,
+    )
+
+
+@jax.jit
+def apply_vi_ba(m: MapState, window_ids: jnp.ndarray, res, calib) -> MapState:
+    """Scatter VI-BA results (poses converted back to Tcw, velocities,
+    biases, landmarks) into the map."""
+    from ..ops import viba as viba_ops
+
+    R_cw, t_cw = viba_ops.cam_from_body(
+        res.states.R_wb, res.states.p_wb, calib.R_bc, calib.t_bc
+    )
+    return m._replace(
+        kf_R=m.kf_R.at[window_ids].set(R_cw),
+        kf_t=m.kf_t.at[window_ids].set(t_cw),
+        kf_v=m.kf_v.at[window_ids].set(res.states.v_w),
+        kf_bg=m.kf_bg.at[window_ids].set(res.states.bg),
+        kf_ba=m.kf_ba.at[window_ids].set(res.states.ba),
+        pt_X=res.X,
+    )

@@ -47,6 +47,11 @@ class MapState(NamedTuple):
     pt_found: jnp.ndarray  # [P] int32 found counter (tracking inlier)
     pt_visible: jnp.ndarray  # [P] int32 visible counter (in frustum)
     pt_first_kf: jnp.ndarray  # [P] int32 creating keyframe
+    # --- inertial body state per keyframe (KeyFrame's mVw/mImuBias,
+    # KeyFrame.h:414-419; zeros until IMU initialization) ---
+    kf_v: jnp.ndarray  # [K,3] world-frame velocity
+    kf_bg: jnp.ndarray  # [K,3] gyro bias
+    kf_ba: jnp.ndarray  # [K,3] accel bias
 
     @property
     def K(self) -> int:
@@ -80,6 +85,9 @@ def empty_map(K: int, N: int, P: int, dtype=jnp.float32) -> MapState:
         pt_found=jnp.zeros((P,), jnp.int32),
         pt_visible=jnp.zeros((P,), jnp.int32),
         pt_first_kf=jnp.zeros((P,), jnp.int32),
+        kf_v=jnp.zeros((K, 3), dtype),
+        kf_bg=jnp.zeros((K, 3), dtype),
+        kf_ba=jnp.zeros((K, 3), dtype),
     )
 
 

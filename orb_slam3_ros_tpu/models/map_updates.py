@@ -158,3 +158,18 @@ def admit_depth_points(
         ),
         n_new,
     )
+
+
+@jax.jit
+def apply_scaled_rotation(m: MapState, R_gw: jnp.ndarray, s: jnp.ndarray) -> MapState:
+    """Gravity-align + metrically rescale the whole map after IMU
+    initialization (``Map::ApplyScaledRotation``, orb_slam3/src/Map.cc:
+    252): X' = s R_gw X, camera poses R_cw' = R_cw R_gw^T, t_cw' = s t_cw
+    (reprojection-invariant), world velocities v' = R_gw v (already
+    metric after the init solve)."""
+    return m._replace(
+        pt_X=s * m.pt_X @ R_gw.T,
+        kf_R=jnp.einsum("kij,lj->kil", m.kf_R, R_gw),
+        kf_t=s * m.kf_t,
+        kf_v=m.kf_v @ R_gw.T,
+    )

@@ -84,7 +84,12 @@ class MonoSlam:
 
         self.init_feats: Optional[orb.Features] = None
         self.init_ts = 0.0
-        self.trajectory = []  # (ts, Twc 4x4) per tracked frame
+        self.trajectory = []  # (ts, Twc 4x4) frozen at track time
+        # Relative log (ts, ref_kf, R_cr, t_cr): frame pose relative to
+        # its reference keyframe, so the final trajectory reflects all
+        # later corrections (the reference's mlRelativeFramePoses,
+        # Tracking.cc:2336-2356 + SaveTrajectoryEuRoC reconstruction).
+        self.rel_traj = []
         self.timing = {}
 
         self._extract = jax.jit(lambda im: orb.extract(im, self.config))
@@ -103,6 +108,32 @@ class MonoSlam:
         T[:3, :3] = Rwc
         T[:3, 3] = twc
         self.trajectory.append((ts, T))
+        if self.n_kf > 0:
+            ref = self.n_kf - 1
+            R_ref = np.asarray(jax.device_get(self.map.kf_R[ref]))
+            t_ref = np.asarray(jax.device_get(self.map.kf_t[ref]))
+            # T_cr = Tcw_frame * Twc_ref
+            R_cr = Rcw @ R_ref.T
+            t_cr = tcw - R_cr @ t_ref
+            self.rel_traj.append((ts, ref, R_cr, t_cr))
+
+    def get_trajectory(self):
+        """Frame trajectory recomposed against the CURRENT keyframe poses
+        (reference SaveTrajectoryEuRoC semantics, System.cc:646): all
+        loop/BA/IMU-init corrections applied retroactively."""
+        if not self.rel_traj:
+            return list(self.trajectory)
+        kf_R = np.asarray(jax.device_get(self.map.kf_R))
+        kf_t = np.asarray(jax.device_get(self.map.kf_t))
+        out = []
+        for ts, ref, R_cr, t_cr in self.rel_traj:
+            Rcw = R_cr @ kf_R[ref]
+            tcw = R_cr @ kf_t[ref] + t_cr
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = Rcw.T
+            T[:3, 3] = -Rcw.T @ tcw
+            out.append((ts, T))
+        return out
 
     def _tic(self, name, t0):
         dt = time.time() - t0

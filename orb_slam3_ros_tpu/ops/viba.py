@@ -305,20 +305,19 @@ def vi_bundle_adjust(
             g = g.at[ii, off : off + 3].add(gv)
             g = g.at[jj, off : off + 3].add(-gv)
 
-        # ---- bias priors (pull to zero) ----
-        if bias_prior_g or bias_prior_a:
-            diag_idx = jnp.arange(K)
-            pr = jnp.zeros((D,), dtype)
-            pr = pr.at[9:12].set(bias_prior_g).at[12:15].set(bias_prior_a)
-            H = H.at[diag_idx, diag_idx].add(jnp.diag(pr))
-            g = g - jnp.concatenate(
-                [
-                    jnp.zeros((K, 9), dtype),
-                    bias_prior_g * st.bg,
-                    bias_prior_a * st.ba,
-                ],
-                axis=1,
-            )
+        # ---- bias priors (pull to zero; zero weight is a no-op) ----
+        diag_idx = jnp.arange(K)
+        pr = jnp.zeros((D,), dtype)
+        pr = pr.at[9:12].set(bias_prior_g).at[12:15].set(bias_prior_a)
+        H = H.at[diag_idx, diag_idx].add(jnp.diag(pr))
+        g = g - jnp.concatenate(
+            [
+                jnp.zeros((K, 9), dtype),
+                bias_prior_g * st.bg,
+                bias_prior_a * st.ba,
+            ],
+            axis=1,
+        )
 
         # ---- damping + fixed masking + Schur ----
         eye = jnp.eye(D, dtype=dtype)
@@ -410,6 +409,9 @@ def inertial_init(
     prior_a: float = 1e6,
     n_iters: int = 30,
     fix_scale: bool = False,
+    vis_sigma_rot: float = 4e-3,
+    vis_sigma_vel: float = 0.03,
+    vis_sigma_pos: float = 8e-3,
 ) -> InertialInitResult:
     """Estimate gravity direction, metric scale, shared biases, and
     per-KF velocities with poses fixed (Optimizer::InertialOptimization,
@@ -422,7 +424,23 @@ def inertial_init(
     """
     K = R_wb.shape[0]
     dtype = R_wb.dtype
-    ie_info = jax.vmap(lambda C: _info_from_cov(C, slice(0, 9)))(ie_preint.C)
+    # The fixed keyframe poses are *visual* estimates, not ground truth —
+    # fold their uncertainty into the factor covariance (a floor added to
+    # the preintegration covariance), otherwise the raw IMU information
+    # overweights the position channel and the weighted solve can prefer
+    # collapsing the scale to shrink visual position noise.
+    vis_floor = jnp.concatenate(
+        [
+            jnp.full((3,), vis_sigma_rot**2, dtype),
+            jnp.full((3,), vis_sigma_vel**2, dtype),
+            jnp.full((3,), vis_sigma_pos**2, dtype),
+        ]
+    )
+    ie_info = jax.vmap(
+        lambda C: jnp.linalg.inv(
+            0.5 * (C[:9, :9] + C[:9, :9].T) + jnp.diag(vis_floor)
+        )
+    )(ie_preint.C)
     g_ref = jnp.asarray([0.0, 0.0, -imu.GRAVITY], dtype)
     nS = 9 + 3 * K
 
@@ -456,7 +474,22 @@ def inertial_init(
         _, _, bg, ba, _ = unpack(x)
         return c + prior_g * jnp.sum(bg * bg) + prior_a * jnp.sum(ba * ba)
 
-    Rwg0 = jnp.eye(3, dtype=dtype)
+    # Seed the gravity direction from the summed preintegrated velocity
+    # (the reference's dirG accumulation, LocalMapping.cc:1209-1229):
+    # sum_q R_wb_i dV_q ~ (v_N - v_0) - g * T ~ -g * T.
+    dV_sum = jnp.sum(
+        jnp.einsum("qij,qj->qi", R_wb[ie_i], ie_preint.dV)
+        * ie_valid[:, None].astype(dtype),
+        axis=0,
+    )
+    g_dir = -dV_sum / jnp.maximum(jnp.linalg.norm(dV_sum), 1e-9)
+    g_ref_dir = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    axis = jnp.cross(g_ref_dir, g_dir)
+    sin_a = jnp.linalg.norm(axis)
+    cos_a = jnp.dot(g_ref_dir, g_dir)
+    angle = jnp.arctan2(sin_a, cos_a)
+    axis = axis / jnp.maximum(sin_a, 1e-9)
+    Rwg0 = lie.so3_exp(axis * angle)
     s0 = jnp.asarray(1.0, dtype)
     x0 = jnp.zeros((nS,), dtype)
 
@@ -495,3 +528,26 @@ def inertial_init(
         v_w=v,
         cost=cost,
     )
+
+
+# ---------------------------------------------------------------------------
+# Camera <-> body pose conversion (role of g2o ImuCamPose, G2oTypes.h:96)
+# ---------------------------------------------------------------------------
+
+
+def body_from_cam(R_cw, t_cw, R_bc, t_bc):
+    """Tcw (camera) -> (R_wb, p_wb): X_b = R_bc X_c + t_bc."""
+    R_bw = jnp.einsum("ij,...jk->...ik", R_bc, R_cw)
+    t_bw = jnp.einsum("ij,...j->...i", R_bc, t_cw) + t_bc
+    R_wb = jnp.swapaxes(R_bw, -1, -2)
+    p_wb = -jnp.einsum("...ij,...j->...i", R_wb, t_bw)
+    return R_wb, p_wb
+
+
+def cam_from_body(R_wb, p_wb, R_bc, t_bc):
+    """(R_wb, p_wb) -> Tcw."""
+    R_bw = jnp.swapaxes(R_wb, -1, -2)
+    t_bw = -jnp.einsum("...ij,...j->...i", R_bw, p_wb)
+    R_cw = jnp.einsum("ji,...jk->...ik", R_bc, R_bw)
+    t_cw = jnp.einsum("ji,...j->...i", R_bc, t_bw - t_bc)
+    return R_cw, t_cw

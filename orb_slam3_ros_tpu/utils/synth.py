@@ -263,3 +263,106 @@ def make_sequence(
         images_right=np.stack(imgs_r) if stereo_baseline > 0 else None,
         baseline=stereo_baseline,
     )
+
+
+# ---------------------------------------------------------------------------
+# Visual-inertial sequence: analytically differentiable trajectory so IMU
+# measurements (gyro = vee(R^T dR/dt), specific force = R^T (a - g)) come
+# from exact autodiff derivatives rather than finite differences.
+# ---------------------------------------------------------------------------
+
+
+def _vi_pose_fn(t):
+    """Smooth camera/body pose (R_wb(t) [3,3], p_wb(t) [3]) inside the
+    room, looking mostly at the +x wall. Deliberately dynamic (peak
+    acceleration ~5 m/s^2): IMU scale/gravity observability needs
+    excitation, the same reason EuRoC sequences begin with a shake."""
+    px = 1.0 * jnp.sin(0.45 * t) + 0.12 * jnp.sin(2.6 * t)
+    py = 0.7 * jnp.sin(0.31 * t + 0.7) + 0.10 * jnp.sin(3.1 * t + 0.4)
+    pz = 0.3 * jnp.sin(0.53 * t) + 0.08 * jnp.sin(2.2 * t + 1.1)
+    p = jnp.stack([px, py, pz])
+    look = jnp.stack(
+        [4.0 + 0.0 * t, 1.4 * jnp.sin(0.23 * t), 0.9 * jnp.cos(0.19 * t)]
+    )
+    z = look - p
+    z = z / jnp.linalg.norm(z)
+    up = jnp.asarray([0.0, 0.0, 1.0])
+    x = jnp.cross(z, up)
+    x = x / jnp.linalg.norm(x)
+    y = jnp.cross(z, x)
+    R = jnp.stack([x, y, z], axis=-1)
+    return R, p
+
+
+def make_vi_sequence(
+    n_frames: int = 40,
+    height: int = 240,
+    width: int = 376,
+    frame_dt: float = 0.1,
+    imu_per_frame: int = 10,
+    seed: int = 0,
+    gravity=None,
+    bg=None,
+    ba=None,
+    noise_g: float = 0.0,
+    noise_a: float = 0.0,
+):
+    """Render frames + exact IMU for the analytic trajectory.
+
+    Returns (SynthSequence, imu dict) where imu has per-frame sample
+    blocks ``acc [N, M, 3], gyro [N, M, 3], dts [N, M]`` covering the
+    interval *ending* at each frame (block i integrates frame i-1 -> i;
+    block 0 is zero-padded).
+    """
+    from ..ops import lie  # noqa
+
+    g = np.array([0.0, 0.0, -9.81]) if gravity is None else np.asarray(gravity)
+    bg = np.zeros(3) if bg is None else np.asarray(bg)
+    ba = np.zeros(3) if ba is None else np.asarray(ba)
+    rng = np.random.default_rng(seed + 100)
+
+    pose_jit = jax.jit(_vi_pose_fn)
+    dR_fn = jax.jit(jax.jacfwd(lambda t: _vi_pose_fn(t)[0]))
+    v_fn = jax.jit(jax.jacfwd(lambda t: _vi_pose_fn(t)[1]))
+    a_fn = jax.jit(jax.jacfwd(jax.jacfwd(lambda t: _vi_pose_fn(t)[1])))
+
+    scene = make_room(seed=seed)
+    f = 0.55 * width
+    cam = np.asarray(
+        [f, f, (width - 1) / 2.0, (height - 1) / 2.0, 0, 0, 0, 0, 0], np.float32
+    )
+    ts = np.arange(n_frames) * frame_dt
+    imgs, Rs, ps = [], [], []
+    for i in range(n_frames):
+        R, p = pose_jit(jnp.asarray(ts[i]))
+        imgs.append(np.asarray(render(scene, R, p, jnp.asarray(cam),
+                                      height=height, width=width)[0]))
+        Rs.append(np.asarray(R))
+        ps.append(np.asarray(p))
+
+    dt_imu = frame_dt / imu_per_frame
+    acc = np.zeros((n_frames, imu_per_frame, 3), np.float32)
+    gyro = np.zeros((n_frames, imu_per_frame, 3), np.float32)
+    dts = np.zeros((n_frames, imu_per_frame), np.float32)
+    vel = np.zeros((n_frames, 3), np.float32)
+    for i in range(n_frames):
+        vel[i] = np.asarray(v_fn(jnp.asarray(ts[i])))
+        if i == 0:
+            continue
+        for k in range(imu_per_frame):
+            tk = ts[i - 1] + k * dt_imu
+            R, _ = pose_jit(jnp.asarray(tk))
+            dR = np.asarray(dR_fn(jnp.asarray(tk)))
+            omega_hat = np.asarray(R).T @ dR
+            omega = np.array(
+                [omega_hat[2, 1], omega_hat[0, 2], omega_hat[1, 0]]
+            )
+            a_w = np.asarray(a_fn(jnp.asarray(tk)))
+            gyro[i, k] = omega + bg + rng.normal(size=3) * noise_g
+            acc[i, k] = np.asarray(R).T @ (a_w - g) + ba + rng.normal(size=3) * noise_a
+            dts[i, k] = dt_imu
+    seq = SynthSequence(
+        images=np.stack(imgs), R_wc=np.stack(Rs), t_wc=np.stack(ps),
+        timestamps=ts, cam_params=cam, depths=None,
+    )
+    return seq, dict(acc=acc, gyro=gyro, dts=dts, vel=vel, gravity=g, bg=bg, ba=ba)
