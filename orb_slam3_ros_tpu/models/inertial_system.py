@@ -95,7 +95,7 @@ class InertialSlam(MonoSlam):
         return a, g, d
 
     # ------------------------------------------------------------------
-    def _track(self, feats, ts):
+    def _predict_motion(self, ts):
         if self.imu_initialized:
             acc, gyro, dts = self._frame_imu
             if acc is not None and len(acc):
@@ -126,7 +126,6 @@ class InertialSlam(MonoSlam):
                 self.vel_R = np.asarray(R_cw) @ self.R_cur.T
                 self.vel_t = np.asarray(t_cw) - self.vel_R @ self.t_cur
                 self.v_cur = np.asarray(v2)
-        return super()._track(feats, ts)
 
     # ------------------------------------------------------------------
     def _create_initial_map(self, feats, ts, idx, res):

@@ -93,6 +93,23 @@ class MonoSlam:
         self.timing = {}
 
         self._extract = jax.jit(lambda im: orb.extract(im, self.config))
+
+        # Fused per-frame hot path: extraction + coarse-to-fine tracking
+        # in ONE compiled program (each separate dispatch costs a full
+        # host->device round trip; fusing them nearly halves steady-state
+        # frame latency on the TPU link).
+        def _fused(img, m, R_pred, t_pred, n_kf):
+            feats = orb.extract(img, self.config)
+            pt_mask = None
+            if self.track_window is not None:
+                pt_mask = m.pt_first_kf >= (n_kf - self.track_window)
+            res = tracking.track_against_map(
+                m, feats, R_pred, t_pred, self.cam_params,
+                self.width, self.height, pt_mask=pt_mask,
+            )
+            return feats, res
+
+        self._fused_track = jax.jit(_fused)
         self.loop_closer = None
         if enable_loop_closing:
             from .loop_closing import LoopCloser
@@ -144,19 +161,32 @@ class MonoSlam:
     def process_frame(self, img: np.ndarray, ts: float):
         """Track one grayscale frame. Returns Twc [4,4] or None."""
         t0 = time.time()
-        feats = self._extract(jnp.asarray(img, jnp.float32))
-        jax.block_until_ready(feats.xy)
-        t0 = self._tic("extract", t0)
-
-        if self.state == NOT_INITIALIZED:
-            out = self._try_initialize(feats, ts)
-        elif self.state == OK:
-            out = self._track(feats, ts)
+        if self.state == OK:
+            self._predict_motion(ts)
+            R_pred = self.vel_R @ self.R_cur
+            t_pred = self.vel_R @ self.t_cur + self.vel_t
+            feats, res = self._fused_track(
+                jnp.asarray(img, jnp.float32), self.map,
+                jnp.asarray(R_pred), jnp.asarray(t_pred),
+                jnp.asarray(self.n_kf),
+            )
+            t0 = self._tic("extract+track", t0)
+            out = self._track_post(feats, res, ts)
         else:
-            out = self._try_relocalize(feats, ts)
-        self._tic("track", t0)
+            feats = self._extract(jnp.asarray(img, jnp.float32))
+            jax.block_until_ready(feats.xy)
+            t0 = self._tic("extract", t0)
+            if self.state == NOT_INITIALIZED:
+                out = self._try_initialize(feats, ts)
+            else:
+                out = self._try_relocalize(feats, ts)
+        self._tic("frame", t0)
         self.frame_id += 1
         return out
+
+    def _predict_motion(self, ts):
+        """Hook: update vel_R/vel_t before tracking (constant-velocity by
+        default; the inertial pipeline overrides with IMU prediction)."""
 
     def _try_relocalize(self, feats, ts):
         """Relocalization after tracking loss (role of
@@ -294,6 +324,8 @@ class MonoSlam:
 
     # ------------------------------------------------------------------
     def _track(self, feats, ts):
+        """Non-fused tracking (used by pipelines that pre-compute feats,
+        e.g. stereo)."""
         R_pred = self.vel_R @ self.R_cur
         t_pred = self.vel_R @ self.t_cur + self.vel_t
         pt_mask = None
@@ -303,6 +335,9 @@ class MonoSlam:
             self.map, feats, jnp.asarray(R_pred), jnp.asarray(t_pred),
             self.cam_params, self.width, self.height, pt_mask=pt_mask,
         )
+        return self._track_post(feats, res, ts)
+
+    def _track_post(self, feats, res, ts):
         # One host sync per frame: pose + inlier count together.
         n_inl, R_new, t_new = jax.device_get((res.n_inliers, res.R, res.t))
         n_inl = int(n_inl)

@@ -87,9 +87,36 @@ def search_by_projection(
       radius: base search radius in level-0 pixels.
 
     Returns (match_idx [P] into feats, match_dist [P]).
+
+    On TPU backends this uses the fused Pallas streaming kernel
+    (``pallas_match.project_match_best2``) — O(P+N) HBM traffic — with
+    injectivity enforced by a column-winner scatter; elsewhere the dense
+    XLA path below is the reference implementation.
     """
-    dist = hamming.hamming_matrix(proj_sign, feats.desc_sign)  # [P, N]
     r = radius * scale ** proj_level.astype(jnp.float32)  # [P]
+    if jax.default_backend() == "tpu":
+        from . import pallas_match
+
+        idx0, best, second = pallas_match.project_match_best2(
+            proj_uv, proj_valid, proj_level, proj_sign, r,
+            feats.xy, feats.level, feats.valid, feats.desc_sign,
+            level_slack=level_slack,
+        )
+        ok = (best <= max_dist) & (
+            best.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
+        )
+        # Injectivity: each feature keeps only its lowest-distance suitor
+        # (the role of the mutual-NN check in the dense path).
+        N = feats.xy.shape[0]
+        col_best = jnp.full((N,), hamming.INVALID_DIST, jnp.int32).at[
+            jnp.clip(idx0, 0, N - 1)
+        ].min(jnp.where(ok, best, hamming.INVALID_DIST))
+        mutual = ok & (col_best[jnp.clip(idx0, 0, N - 1)] == best)
+        return (
+            jnp.where(mutual, idx0, -1).astype(jnp.int32),
+            jnp.where(mutual, best, hamming.INVALID_DIST).astype(jnp.int32),
+        )
+    dist = hamming.hamming_matrix(proj_sign, feats.desc_sign)  # [P, N]
     d2 = jnp.sum((proj_uv[:, None, :] - feats.xy[None, :, :]) ** 2, axis=-1)
     in_rad = d2 <= (r[:, None] ** 2)
     lvl_ok = (feats.level[None, :] >= proj_level[:, None] - level_slack) & (

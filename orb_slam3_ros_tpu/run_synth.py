@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--loop-closing", action="store_true")
     ap.add_argument("--track-window", type=int, default=None)
     ap.add_argument("--platform", default=None, help="cpu to force CPU backend")
+    ap.add_argument("--native-feed", action="store_true",
+                    help="feed frames through the C++ measurement-sync "
+                         "runtime from a producer thread (the reference's "
+                         "ROS callback-thread topology)")
     ap.add_argument("--save-traj", default=None, help="write TUM-format trajectory")
     ap.add_argument("--json", action="store_true", help="print one summary JSON line")
     args = ap.parse_args(argv)
@@ -57,9 +61,37 @@ def main(argv=None):
     )
     t_start = time.time()
     tracked = 0
-    for i in range(args.frames):
-        T = slam.process_frame(seq.images[i], float(seq.timestamps[i]))
-        tracked += T is not None
+    if args.native_feed:
+        import threading
+
+        from orb_slam3_ros_tpu.native import MeasurementSync
+
+        ms = MeasurementSync(height=args.height, width=args.width)
+
+        def produce():
+            import numpy as _np
+            for i in range(args.frames):
+                ms.push_imu(float(seq.timestamps[i]), _np.zeros(3), _np.zeros(3))
+                while not ms.push_frame(float(seq.timestamps[i]), seq.images[i]):
+                    time.sleep(0.0005)
+
+        th = threading.Thread(target=produce)
+        th.start()
+        done = 0
+        while done < args.frames:
+            b = ms.pop_bundle()
+            if b is None:
+                time.sleep(0.0002)
+                continue
+            ts_b, gray, *_ = b
+            T = slam.process_frame(gray, ts_b)
+            tracked += T is not None
+            done += 1
+        th.join()
+    else:
+        for i in range(args.frames):
+            T = slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+            tracked += T is not None
     wall = time.time() - t_start
 
     ts = np.asarray([t for t, _ in slam.trajectory])
