@@ -1,0 +1,259 @@
+"""Atlas: multi-map management — create-on-loss, archived-map
+relocalization, and Sim3 map merging.
+
+Role of the reference's ``Atlas`` (orb_slam3/src/Atlas.cc: CreateNewMap
+:58, set of Maps with one active) together with the tracking-loss policy
+(``Tracking::CreateMapInAtlas`` / reset decision, Tracking.cc:2050-2068:
+reset a map with <10 KFs, else archive it and start fresh) and the
+map-merge entry of ``LoopClosing`` (place recognition across maps ->
+MergeLocal, LoopClosing.cc:1140-1211/2546).
+
+TPU-native shape: an archived map is just the (host-pinned) ``MapState``
+pytree + counters + precomputed retrieval signatures; merging transforms
+the younger map's arrays by the verified Sim3 and bulk-copies them into
+free slots of the older map's fixed-capacity arrays (id remap = one
+vectorized offset).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import retrieval, sim3solver
+from . import map_state as ms
+from .loop_closing import _match_points_between
+
+
+@dataclass
+class ArchivedMap:
+    m: ms.MapState
+    n_kf: int
+    n_pts: int
+    sigs: jnp.ndarray  # [K, A] retrieval signatures
+
+
+@dataclass
+class Atlas:
+    """Host-side multi-map registry attached to a SLAM system."""
+
+    min_kf_keep: int = 8  # maps smaller than this are discarded on loss
+    maps: list = field(default_factory=list)
+
+    def archive_current(self, slam) -> bool:
+        """Archive the active map if it is worth keeping (>= min_kf_keep
+        keyframes), then reset the system to a fresh empty map. Returns
+        True if archived, False if discarded (reference resets small maps
+        in place, Tracking.cc:2050-2068)."""
+        from . import map_state
+
+        keep = slam.n_kf >= self.min_kf_keep
+        if keep:
+            sigs = retrieval.kf_signatures(
+                slam.map.kf_desc_sign, slam.map.kf_feat_valid
+            )
+            self.maps.append(
+                ArchivedMap(
+                    m=jax.tree.map(jnp.asarray, slam.map),
+                    n_kf=slam.n_kf, n_pts=slam.n_pts,
+                    sigs=sigs,
+                )
+            )
+        slam.map = map_state.empty_map(slam.K_cap, slam.N, slam.P_cap)
+        slam.n_kf = 0
+        slam.n_pts = 0
+        slam.init_feats = None
+        slam.R_cur = np.eye(3, dtype=np.float32)
+        slam.t_cur = np.zeros(3, np.float32)
+        slam.vel_R = np.eye(3, dtype=np.float32)
+        slam.vel_t = np.zeros(3, np.float32)
+        from .system import NOT_INITIALIZED
+
+        slam.state = NOT_INITIALIZED
+        return keep
+
+    # ------------------------------------------------------------------
+    def try_relocalize_in_archived(self, slam, feats) -> bool:
+        """Try to continue in an archived map (re-encounter of an old map,
+        the trigger for the reference's map-merge path). On success the
+        archived map becomes active; the (young) current map is dropped —
+        if the current map is substantial the caller should run
+        ``merge_current_into`` instead."""
+        from . import tracking
+        from .system import OK
+
+        for k, am in enumerate(self.maps):
+            q = retrieval.signature(feats.desc_sign, feats.valid)
+            cand_ids, scores = retrieval.detect_candidates(
+                q, am.sigs, am.m.kf_valid, jnp.zeros((am.m.K,), bool),
+                min_common_score=0.3,
+            )
+            for c in np.asarray(jax.device_get(cand_ids)):
+                if c < 0:
+                    continue
+                res = tracking.track_against_map(
+                    am.m, feats, am.m.kf_R[int(c)], am.m.kf_t[int(c)],
+                    slam.cam_params, slam.width, slam.height,
+                )
+                if int(jax.device_get(res.n_inliers)) >= 30:
+                    # switch active map
+                    slam.map = am.m
+                    slam.n_kf = am.n_kf
+                    slam.n_pts = am.n_pts
+                    R_new, t_new = jax.device_get((res.R, res.t))
+                    slam.R_cur = np.asarray(R_new)
+                    slam.t_cur = np.asarray(t_new)
+                    slam.vel_R = np.eye(3, dtype=np.float32)
+                    slam.vel_t = np.zeros(3, np.float32)
+                    slam.state = OK
+                    del self.maps[k]
+                    return True
+        return False
+
+    # ------------------------------------------------------------------
+    def merge_current_into(self, slam, archived_idx: int, key) -> bool:
+        """Weld the active map into an archived one (MergeLocal role,
+        LoopClosing.cc:2546): find a Sim3 between a current keyframe and
+        an archived keyframe via matched landmarks, transform the current
+        map into the archived frame, and bulk-copy the archived content
+        into the active arrays (capacities permitting)."""
+        am = self.maps[archived_idx]
+        cur = slam.map
+        # Find the best cross-map KF pair by signatures.
+        cur_sigs = retrieval.kf_signatures(cur.kf_desc_sign, cur.kf_feat_valid)
+        S = np.array(jax.device_get(cur_sigs @ am.sigs.T))  # [Kc, Ka] (writable copy)
+        S[slam.n_kf:, :] = -1
+        S[:, am.n_kf:] = -1
+        kc, ka = np.unravel_index(np.argmax(S), S.shape)
+        if S[kc, ka] < 0.2:
+            return False
+        # Matched landmark pairs between the two keyframes (cross-map).
+        X1, X2, ok, pt1, pt2 = _cross_map_pairs(cur, am.m, int(kc), int(ka))
+        if int(jax.device_get(ok.sum())) < 15:
+            return False
+        res = sim3solver.solve_sim3(
+            X1, X2, ok, slam.cam_params, key, min_inliers=15
+        )
+        if not bool(jax.device_get(res.ok)):
+            return False
+        # S21: X_in_ka_cam = s R X_in_kc_cam + t. World-to-world:
+        # S_wa<-wc = T_ka_w^-1 * S21 * T_kc_w  (poses cam<-world).
+        R_kc, t_kc = cur.kf_R[int(kc)], cur.kf_t[int(kc)]
+        R_ka, t_ka = am.m.kf_R[int(ka)], am.m.kf_t[int(ka)]
+        from ..ops import lie
+
+        s21, R21, t21 = res.s, res.R, res.t
+        # world_c -> cam_kc -> cam_ka -> world_a
+        R1, t1, s1 = R_kc, t_kc, jnp.asarray(1.0)
+        Rm, tm, sm = lie.sim3_mul(R21, t21, s21, R1, t1, s1)
+        Rai, tai, sai = lie.sim3_inv(R_ka, t_ka, jnp.asarray(1.0))
+        Rw, tw, sw = lie.sim3_mul(Rai, tai, sai, Rm, tm, sm)
+        # Transform current map into archived world frame.
+        cur_t = _transform_map(cur, Rw, tw, sw)
+        merged, n_kf, n_pts = _concat_maps(am.m, am.n_kf, am.n_pts, cur_t,
+                                           slam.n_kf, slam.n_pts)
+        if merged is None:
+            return False
+        slam.map = merged
+        slam.n_kf = n_kf
+        slam.n_pts = n_pts
+        # Current pose moves with the map transform.
+        Rc = np.asarray(jax.device_get(Rw))
+        tc = np.asarray(jax.device_get(tw))
+        sc = float(jax.device_get(sw))
+        # Tcw' = Tcw * S_w^-1 (SE3 approx: R' = R Rw^T, t' = s... ) —
+        # recompute from the transformed keyframe nearest to current.
+        slam.R_cur = np.asarray(jax.device_get(merged.kf_R[n_kf - 1]))
+        slam.t_cur = np.asarray(jax.device_get(merged.kf_t[n_kf - 1]))
+        slam.vel_R = np.eye(3, dtype=np.float32)
+        slam.vel_t = np.zeros(3, np.float32)
+        del self.maps[archived_idx]
+        return True
+
+
+def _cross_map_pairs(m1: ms.MapState, m2: ms.MapState, kf1: int, kf2: int):
+    """Landmark pairs between keyframes of two different maps (the
+    cross-map variant of loop_closing._match_points_between)."""
+    from ..ops import hamming, matching
+    from .loop_closing import _kf_features
+
+    f1 = _kf_features(m1, jnp.asarray(kf1))
+    f2 = _kf_features(m2, jnp.asarray(kf2))
+    idx, dist = matching.search_frame_frame(f1, f2, max_dist=64, ratio=0.85)
+    fidx2 = jnp.clip(idx, 0, m2.N - 1)
+    pt1 = m1.kf_obs[kf1]
+    pt2 = m2.kf_obs[kf2][fidx2]
+    ok = (
+        (idx >= 0)
+        & (pt1 >= 0)
+        & (pt2 >= 0)
+        & m1.pt_valid[jnp.clip(pt1, 0, m1.P - 1)]
+        & m2.pt_valid[jnp.clip(pt2, 0, m2.P - 1)]
+    )
+    X1w = m1.pt_X[jnp.clip(pt1, 0, m1.P - 1)]
+    X2w = m2.pt_X[jnp.clip(pt2, 0, m2.P - 1)]
+    X1 = jnp.einsum("ij,nj->ni", m1.kf_R[kf1], X1w) + m1.kf_t[kf1]
+    X2 = jnp.einsum("ij,nj->ni", m2.kf_R[kf2], X2w) + m2.kf_t[kf2]
+    return X1, X2, ok, pt1, pt2
+
+
+@jax.jit
+def _transform_map(m: ms.MapState, Rw, tw, sw):
+    """Apply a world-to-world Sim3 to every pose/point (the welding
+    transform applied to the younger map)."""
+    X = sw * m.pt_X @ Rw.T + tw
+    # Tcw' : X_cam = R_cw' X' + t_cw' must equal old cam coords / scale-adj.
+    Rwi, twi, swi = (jnp.swapaxes(Rw, -1, -2), -jnp.einsum("ji,j->i", Rw, tw) / sw, 1.0 / sw)
+    new_R = jnp.einsum("kij,jl->kil", m.kf_R, Rwi)
+    new_t = sw * m.kf_t  # scale like ApplyScaledRotation
+    # translation also needs the rotation/offset part:
+    # X_cam = R_cw (Rwi (X' - tw)/sw)... full: R_cw' = R_cw Rwi, t_cw' =
+    # s^-1... derive: X = Rwi (X' - tw) / sw ; X_cam = R_cw X + t_cw
+    # = R_cw Rwi/sw X' - R_cw Rwi tw / sw + t_cw. Up to global scale sw
+    # (projection-invariant), multiply by sw:
+    new_t = -jnp.einsum("kij,jl,l->ki", m.kf_R, Rwi, tw) + sw * m.kf_t
+    return m._replace(pt_X=X, kf_R=new_R, kf_t=new_t)
+
+
+def _concat_maps(base: ms.MapState, base_kf: int, base_pts: int,
+                 other: ms.MapState, other_kf: int, other_pts: int):
+    """Copy `other`'s live content into `base`'s free slots (id remap =
+    offset). Returns (merged, n_kf, n_pts) or (None, 0, 0) on capacity
+    overflow."""
+    K, P = base.K, base.P
+    if base_kf + other_kf > K or base_pts + other_pts > P:
+        return None, 0, 0
+    kf_slice = jnp.arange(other_kf)
+    pt_off = base_pts
+    m = base
+    obs_other = other.kf_obs[kf_slice]
+    obs_shift = jnp.where(obs_other >= 0, obs_other + pt_off, -1)
+    m = m._replace(
+        kf_valid=m.kf_valid.at[base_kf : base_kf + other_kf].set(other.kf_valid[kf_slice]),
+        kf_R=m.kf_R.at[base_kf : base_kf + other_kf].set(other.kf_R[kf_slice]),
+        kf_t=m.kf_t.at[base_kf : base_kf + other_kf].set(other.kf_t[kf_slice]),
+        kf_xy=m.kf_xy.at[base_kf : base_kf + other_kf].set(other.kf_xy[kf_slice]),
+        kf_level=m.kf_level.at[base_kf : base_kf + other_kf].set(other.kf_level[kf_slice]),
+        kf_angle=m.kf_angle.at[base_kf : base_kf + other_kf].set(other.kf_angle[kf_slice]),
+        kf_desc_sign=m.kf_desc_sign.at[base_kf : base_kf + other_kf].set(other.kf_desc_sign[kf_slice]),
+        kf_feat_valid=m.kf_feat_valid.at[base_kf : base_kf + other_kf].set(other.kf_feat_valid[kf_slice]),
+        kf_obs=m.kf_obs.at[base_kf : base_kf + other_kf].set(obs_shift),
+        kf_ts=m.kf_ts.at[base_kf : base_kf + other_kf].set(other.kf_ts[kf_slice]),
+        kf_v=m.kf_v.at[base_kf : base_kf + other_kf].set(other.kf_v[kf_slice]),
+        kf_bg=m.kf_bg.at[base_kf : base_kf + other_kf].set(other.kf_bg[kf_slice]),
+        kf_ba=m.kf_ba.at[base_kf : base_kf + other_kf].set(other.kf_ba[kf_slice]),
+        pt_valid=m.pt_valid.at[pt_off : pt_off + other_pts].set(other.pt_valid[:other_pts]),
+        pt_X=m.pt_X.at[pt_off : pt_off + other_pts].set(other.pt_X[:other_pts]),
+        pt_desc_sign=m.pt_desc_sign.at[pt_off : pt_off + other_pts].set(other.pt_desc_sign[:other_pts]),
+        pt_level=m.pt_level.at[pt_off : pt_off + other_pts].set(other.pt_level[:other_pts]),
+        pt_found=m.pt_found.at[pt_off : pt_off + other_pts].set(other.pt_found[:other_pts]),
+        pt_visible=m.pt_visible.at[pt_off : pt_off + other_pts].set(other.pt_visible[:other_pts]),
+        pt_first_kf=m.pt_first_kf.at[pt_off : pt_off + other_pts].set(
+            other.pt_first_kf[:other_pts] + base_kf
+        ),
+    )
+    return m, base_kf + other_kf, base_pts + other_pts

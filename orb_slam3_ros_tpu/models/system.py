@@ -47,6 +47,8 @@ class MonoSlam:
         kf_min_inliers: int = 60,
         local_ba_iters: int = 6,
         enable_loop_closing: bool = False,
+        enable_atlas: bool = False,
+        lost_patience: int = 10,
         track_window: Optional[int] = None,
         seed: int = 0,
     ):
@@ -93,6 +95,14 @@ class MonoSlam:
         self.timing = {}
 
         self._extract = jax.jit(lambda im: orb.extract(im, self.config))
+        self.atlas = None
+        self.lost_count = 0
+        self.lost_patience = lost_patience
+        self.frozen_traj = []  # absolute poses flushed at map switches
+        if enable_atlas:
+            from .atlas import Atlas
+
+            self.atlas = Atlas()
 
         # Fused per-frame hot path: extraction + coarse-to-fine tracking
         # in ONE compiled program (each separate dispatch costs a full
@@ -134,12 +144,7 @@ class MonoSlam:
             t_cr = tcw - R_cr @ t_ref
             self.rel_traj.append((ts, ref, R_cr, t_cr))
 
-    def get_trajectory(self):
-        """Frame trajectory recomposed against the CURRENT keyframe poses
-        (reference SaveTrajectoryEuRoC semantics, System.cc:646): all
-        loop/BA/IMU-init corrections applied retroactively."""
-        if not self.rel_traj:
-            return list(self.trajectory)
+    def _compose_rel(self):
         kf_R = np.asarray(jax.device_get(self.map.kf_R))
         kf_t = np.asarray(jax.device_get(self.map.kf_t))
         out = []
@@ -151,6 +156,20 @@ class MonoSlam:
             T[:3, 3] = -Rcw.T @ tcw
             out.append((ts, T))
         return out
+
+    def _freeze_rel_traj(self):
+        """Flush relative frame logs into absolute poses (called before a
+        map switch — their reference keyframes are about to vanish)."""
+        self.frozen_traj.extend(self._compose_rel())
+        self.rel_traj = []
+
+    def get_trajectory(self):
+        """Frame trajectory recomposed against the CURRENT keyframe poses
+        (reference SaveTrajectoryEuRoC semantics, System.cc:646): all
+        loop/BA/IMU-init corrections applied retroactively."""
+        if not self.rel_traj and not self.frozen_traj:
+            return list(self.trajectory)
+        return list(self.frozen_traj) + self._compose_rel()
 
     def _tic(self, name, t0):
         dt = time.time() - t0
@@ -221,8 +240,22 @@ class MonoSlam:
                 self.vel_R = np.eye(3, dtype=np.float32)
                 self.vel_t = np.zeros(3, np.float32)
                 self.state = OK
+                self.lost_count = 0
                 self._log_pose(ts)
                 return self._pose_mat()
+        # Atlas: try to continue in an archived map (re-encounter), else
+        # after enough failed frames archive this map and start fresh
+        # (Tracking::CreateMapInAtlas decision, Tracking.cc:2050-2068).
+        if self.atlas is not None:
+            self._freeze_rel_traj()
+            if self.atlas.try_relocalize_in_archived(self, feats):
+                self.lost_count = 0
+                self._log_pose(ts)
+                return self._pose_mat()
+            self.lost_count += 1
+            if self.lost_count >= self.lost_patience:
+                self.atlas.archive_current(self)
+                self.lost_count = 0
         return None
 
     # ------------------------------------------------------------------
@@ -400,6 +433,12 @@ class MonoSlam:
         if self.loop_closer is not None:
             self.key, sub = jax.random.split(self.key)
             self.loop_closer.try_close(self, kf_id, sub)
+        # Atlas: periodically try welding this map into an archived one
+        # (cross-map place recognition -> MergeLocal role).
+        if self.atlas is not None and self.atlas.maps and kf_id % 4 == 0:
+            self.key, sub = jax.random.split(self.key)
+            self._freeze_rel_traj()
+            self.atlas.merge_current_into(self, 0, sub)
 
     def _run_local_ba(self, n_iters):
         if self.n_kf < 2:

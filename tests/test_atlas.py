@@ -1,0 +1,116 @@
+"""Tests for the Atlas multi-map subsystem: create-on-loss, archived-map
+relocalization, and Sim3 map merge."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_ros_tpu.models.system import MonoSlam, NOT_INITIALIZED, OK, LOST
+from orb_slam3_ros_tpu.models import atlas as atlas_mod
+from orb_slam3_ros_tpu.ops import lie
+from orb_slam3_ros_tpu.utils import synth
+from orb_slam3_ros_tpu.utils.evaluate_ate import ate_rmse
+
+
+@pytest.fixture(scope="module")
+def blackout_run():
+    """Track, feed blank frames (forced loss), then return to the scene:
+    the create-on-loss + re-encounter scenario."""
+    seq = synth.make_sequence(n_frames=40, height=240, width=376, dt=0.1, seed=3)
+    slam = MonoSlam(
+        height=240, width=376, cam_params=seq.cam_params, n_features=1200,
+        max_keyframes=64, max_points=8192, kf_every=3,
+        enable_atlas=True, lost_patience=3,
+    )
+    blank = np.zeros((240, 376), np.float32)
+    log = []
+    t = 0.0
+    for i in range(22):  # build first map
+        slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        log.append(slam.state)
+    kf_before = slam.n_kf
+    for k in range(8):  # blackout: lose tracking
+        t = float(seq.timestamps[21]) + 0.1 * (k + 1)
+        slam.process_frame(blank, t)
+        log.append(slam.state)
+    state_mid = slam.state
+    n_maps_mid = len(slam.atlas.maps) if slam.atlas else 0
+    for i in range(22, 40):  # back to the scene
+        t2 = t + 0.1 * (i - 21)
+        slam.process_frame(seq.images[i], t2)
+        log.append(slam.state)
+    return slam, seq, log, kf_before, state_mid, n_maps_mid
+
+
+class TestAtlas:
+    def test_archives_on_loss(self, blackout_run):
+        slam, seq, log, kf_before, state_mid, n_maps_mid = blackout_run
+        assert kf_before >= 5
+        # after the blackout the first map must have been archived (it
+        # was big enough to keep)
+        assert n_maps_mid >= 1 or state_mid in (NOT_INITIALIZED, LOST)
+
+    def test_recovers_after_reencounter(self, blackout_run):
+        slam, seq, log, *_ = blackout_run
+        assert slam.state == OK, f"did not recover (state {slam.state})"
+        # either relocalized into the archived map or re-initialized and
+        # merged; either way we must be tracking with a usable map
+        assert slam.n_kf >= 2 and slam.n_pts > 50
+
+    def test_trajectory_log_survives_switches(self, blackout_run):
+        slam, *_ = blackout_run
+        traj = slam.get_trajectory()
+        assert len(traj) >= 20
+        for ts, T in traj:
+            assert np.isfinite(T).all()
+
+
+class TestMergeMachinery:
+    def test_transform_map_preserves_projection(self, rng):
+        from orb_slam3_ros_tpu.models import map_state
+        m = map_state.empty_map(K=4, N=32, P=64)
+        X = rng.normal(size=(64, 3)).astype(np.float32) + np.asarray([0, 0, 5])
+        phi = rng.normal(size=3).astype(np.float32) * 0.3
+        R_cw = np.asarray(lie.so3_exp(jnp.asarray(phi)))
+        t_cw = rng.normal(size=3).astype(np.float32)
+        m = m._replace(
+            pt_X=jnp.asarray(X), pt_valid=jnp.ones(64, bool),
+            kf_R=m.kf_R.at[0].set(jnp.asarray(R_cw)),
+            kf_t=m.kf_t.at[0].set(jnp.asarray(t_cw)),
+            kf_valid=m.kf_valid.at[0].set(True),
+        )
+        Rw = lie.so3_exp(jnp.asarray([0.1, -0.2, 0.3]))
+        tw = jnp.asarray([1.0, -2.0, 0.5])
+        sw = jnp.asarray(1.7)
+        m2 = atlas_mod._transform_map(m, Rw, tw, sw)
+        # camera-frame coords of each point scale by sw but keep direction
+        Xc1 = X @ R_cw.T + t_cw
+        Xc2 = (
+            np.asarray(m2.pt_X) @ np.asarray(m2.kf_R[0]).T + np.asarray(m2.kf_t[0])
+        )
+        np.testing.assert_allclose(Xc2, float(sw) * Xc1, rtol=1e-4, atol=1e-4)
+
+    def test_concat_maps_remaps_ids(self, rng):
+        from orb_slam3_ros_tpu.models import map_state
+        a = map_state.empty_map(K=8, N=16, P=32)
+        b = map_state.empty_map(K=8, N=16, P=32)
+        a = a._replace(kf_valid=a.kf_valid.at[0].set(True),
+                       pt_valid=a.pt_valid.at[:5].set(True))
+        obs_b = jnp.full((16,), -1, jnp.int32).at[3].set(2)
+        b = b._replace(
+            kf_valid=b.kf_valid.at[0].set(True),
+            pt_valid=b.pt_valid.at[:4].set(True),
+            kf_obs=b.kf_obs.at[0].set(obs_b),
+        )
+        merged, n_kf, n_pts = atlas_mod._concat_maps(a, 1, 5, b, 1, 4)
+        assert n_kf == 2 and n_pts == 9
+        assert int(merged.kf_obs[1, 3]) == 2 + 5  # shifted by base_pts
+        assert bool(merged.pt_valid[5])
+
+    def test_concat_overflow_fails_gracefully(self):
+        from orb_slam3_ros_tpu.models import map_state
+        a = map_state.empty_map(K=4, N=8, P=16)
+        b = map_state.empty_map(K=4, N=8, P=16)
+        merged, n_kf, n_pts = atlas_mod._concat_maps(a, 3, 10, b, 3, 10)
+        assert merged is None
