@@ -88,13 +88,17 @@ def search_by_projection(
 
     Returns (match_idx [P] into feats, match_dist [P]).
 
-    On TPU backends this uses the fused Pallas streaming kernel
+    With ORB_TPU_PALLAS_MATCH=1 on TPU backends this uses the fused Pallas streaming kernel
     (``pallas_match.project_match_best2``) — O(P+N) HBM traffic — with
     injectivity enforced by a column-winner scatter; elsewhere the dense
     XLA path below is the reference implementation.
     """
     r = radius * scale ** proj_level.astype(jnp.float32)  # [P]
-    if jax.default_backend() == "tpu":
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get(
+        "ORB_TPU_PALLAS_MATCH", "0"
+    ) == "1":
         from . import pallas_match
 
         idx0, best, second = pallas_match.project_match_best2(

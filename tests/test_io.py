@@ -142,3 +142,35 @@ class TestTrajectory:
         trajectory.save_kitti(p, [(0.0, T), (0.1, T)])
         rows = np.loadtxt(p)
         assert rows.shape == (2, 12)
+
+
+class TestVizAndEvalCLI:
+    def test_draw_map_renders(self, tmp_path):
+        from orb_slam3_ros_tpu.models.system import MonoSlam
+        from orb_slam3_ros_tpu.utils import viz
+
+        cam = np.asarray([200.0, 200.0, 96.0, 64.0, 0, 0, 0, 0, 0], np.float32)
+        slam = MonoSlam(height=128, width=192, cam_params=cam, n_features=200,
+                        max_keyframes=8, max_points=256)
+        p = str(tmp_path / "map.png")
+        viz.draw_map(slam, p)
+        assert os.path.getsize(p) > 1000
+
+    def test_evaluate_cli(self, tmp_path, rng):
+        from orb_slam3_ros_tpu import evaluate
+        from orb_slam3_ros_tpu.utils import trajectory as tr
+
+        traj = []
+        for i in range(10):
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [i * 0.1, 0, 0]
+            traj.append((i * 0.1, T))
+        est = str(tmp_path / "est.txt"); gt = str(tmp_path / "gt.txt")
+        tr.save_tum(est, traj)
+        # gt = est scaled by 2 and shifted
+        traj_g = [(ts, T.copy()) for ts, T in traj]
+        for ts, T in traj_g:
+            T[:3, 3] = T[:3, 3] * 2.0 + np.asarray([1, 2, 3], np.float32)
+        tr.save_tum(gt, traj_g)
+        rc = evaluate.main([est, gt])
+        assert rc == 0
