@@ -35,7 +35,7 @@ def main():
     seq = synth.make_sequence(n_frames=n_frames, height=H, width=W, dt=0.1, seed=3)
     slam = MonoSlam(
         height=H, width=W, cam_params=seq.cam_params, n_features=1200,
-        max_keyframes=64, max_points=8192,
+        max_keyframes=64, max_points=4096,
     )
     t_warm_start = time.time()
     for i in range(warm):

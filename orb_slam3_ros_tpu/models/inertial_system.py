@@ -42,6 +42,7 @@ class InertialSlam(MonoSlam):
         self.imu_cap_kf = imu_cap_kf
         self.init_after_kf = init_after_kf
         self.imu_initialized = False
+        self.imu_fix_scale = False  # stereo/RGB-D: scale observable
         self.imu_stage = 0  # staged init refinements (VIBA1 at init,
         # VIBA2 re-solve later, LocalMapping.cc:181-228 schedule)
         # per-KF IMU blocks: block k integrates KF k-1 -> KF k
@@ -196,7 +197,7 @@ class InertialSlam(MonoSlam):
             jnp.arange(n - 1, dtype=jnp.int32),
             jnp.arange(1, n, dtype=jnp.int32),
             pre, jnp.ones(n - 1, bool),
-            n_iters=40,
+            n_iters=40, fix_scale=self.imu_fix_scale,
         )
         s, Rwg, bg, ba, v = jax.device_get(
             (res.scale, res.Rwg, res.bg, res.ba, res.v_w)

@@ -18,6 +18,9 @@ from ..ops import ba
 from .map_state import MapState
 
 
+P_BA = 2048  # compacted landmark capacity of a local-BA window
+
+
 @partial(jax.jit, static_argnames=("scale",))
 def build_local_ba(
     m: MapState,
@@ -25,12 +28,18 @@ def build_local_ba(
     fixed_mask: jnp.ndarray,  # [W] bool
     cam_params: jnp.ndarray,
     scale: float = 1.2,
-) -> ba.BAProblem:
+):
     """Gather the covisible window into a fixed-capacity BA problem.
 
     Edge table = every (window KF, feature) slot with a bound map point —
     the dense equivalent of the lLocalMapPoints/lLocalKeyFrames lists the
-    reference builds at Optimizer.cc:1120-1210.
+    reference builds at Optimizer.cc:1120-1210. Landmarks are COMPACTED
+    into P_BA slots (only window-observed points participate), which
+    shrinks the Schur tensors [K, P, 6, 3] by P/P_BA; overflow edges
+    beyond P_BA are masked out (logged by the solver as fewer edges).
+
+    Returns (BAProblem, sel) where ``sel`` maps compact slots back to
+    global point ids for the scatter-back.
     """
     W = window_ids.shape[0]
     N = m.N
@@ -46,31 +55,45 @@ def build_local_ba(
     inv_sigma2 = 1.0 / scale ** (
         2.0 * m.kf_level[window_ids].reshape(-1).astype(jnp.float32)
     )
-    return ba.BAProblem(
+    # Compact the observed-point set into P_BA slots.
+    mark = jnp.zeros((P,), bool).at[pt_idx].max(edge_valid)
+    sel = jnp.nonzero(mark, size=P_BA, fill_value=P)[0]  # P = pad sentinel
+    n_obs = jnp.sum(mark.astype(jnp.int32))
+    slot_valid = jnp.arange(P_BA) < n_obs
+    inv = jnp.full((P + 1,), -1, jnp.int32).at[sel].set(
+        jnp.where(slot_valid, jnp.arange(P_BA, dtype=jnp.int32), -1),
+        mode="drop",
+    )
+    pt_c = inv[pt_idx]  # [-1 for unobserved/overflow]
+    edge_valid = edge_valid & (pt_c >= 0)
+    sel_c = jnp.clip(sel, 0, P - 1)
+    prob = ba.BAProblem(
         R=m.kf_R[window_ids],
         t=m.kf_t[window_ids],
         cam_fixed=fixed_mask,
         cam_valid=m.kf_valid[window_ids],
-        X=m.pt_X,
-        pt_valid=m.pt_valid,
+        X=m.pt_X[sel_c],
+        pt_valid=slot_valid,
         cam_idx=jnp.repeat(jnp.arange(W, dtype=jnp.int32), N),
-        pt_idx=pt_idx.astype(jnp.int32),
+        pt_idx=jnp.clip(pt_c, 0, P_BA - 1).astype(jnp.int32),
         uv=m.kf_xy[window_ids].reshape(-1, 2),
         inv_sigma2=inv_sigma2,
         edge_valid=edge_valid,
         cam_params=cam_params,
     )
+    return prob, sel
 
 
 @jax.jit
 def apply_local_ba(
-    m: MapState, window_ids: jnp.ndarray, res: ba.BAResult
+    m: MapState, window_ids: jnp.ndarray, sel: jnp.ndarray, res: ba.BAResult
 ) -> MapState:
-    """Scatter optimized poses/points back into the map."""
+    """Scatter optimized poses + compacted points back into the map
+    (pad slots carry sentinel index P and are dropped)."""
     return m._replace(
         kf_R=m.kf_R.at[window_ids].set(res.R),
         kf_t=m.kf_t.at[window_ids].set(res.t),
-        pt_X=res.X,
+        pt_X=m.pt_X.at[sel].set(res.X, mode="drop"),
     )
 
 

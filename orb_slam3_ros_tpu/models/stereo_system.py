@@ -55,6 +55,7 @@ class StereoSlam(MonoSlam):
         if self.state == NOT_INITIALIZED:
             out = self._stereo_initialize(feats, sm, ts)
         elif self.state == OK:
+            self._predict_motion(ts)
             out = self._track(feats, ts)
         else:
             out = self._try_relocalize(feats, ts)
@@ -128,6 +129,40 @@ class StereoSlam(MonoSlam):
         # Stereo gauge: metric scale is observable, one fixed KF suffices;
         # reuse the mono window logic (it always fixes >= 1).
         super()._run_local_ba(n_iters)
+
+
+class StereoInertialSlam(__import__("orb_slam3_ros_tpu.models.inertial_system",
+                                     fromlist=["InertialSlam"]).InertialSlam,
+                         StereoSlam):
+    """Stereo-inertial pipeline (the reference's IMU_STEREO mode).
+
+    Cooperative MRO: InertialSlam supplies IMU ingestion, prediction,
+    staged initialization (with ``fix_scale=True`` — stereo observes
+    metric scale, like the reference's stereo IMU init,
+    LocalMapping.cc:1181 ``mbMonocular`` branch) and VI keyframe BA;
+    StereoSlam supplies frame construction, instant metric init, and
+    depth-based landmark creation. ``InertialSlam._insert_keyframe``'s
+    ``super()`` resolves to the stereo keyframe path.
+    """
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.imu_fix_scale = True
+
+    def process_frame(self, img_left, img_right, ts, acc=None, gyro=None,
+                      dts=None):
+        import numpy as _np
+
+        if acc is not None and len(acc):
+            self._imu_history.append(
+                (ts, _np.asarray(acc, _np.float32),
+                 _np.asarray(gyro, _np.float32),
+                 _np.asarray(dts, _np.float32))
+            )
+            if len(self._imu_history) > 200:
+                self._imu_history.pop(0)
+        self._frame_imu = (acc, gyro, dts)
+        return StereoSlam.process_frame(self, img_left, img_right, ts)
 
 
 class RgbdSlam(StereoSlam):

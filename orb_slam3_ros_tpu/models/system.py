@@ -458,11 +458,11 @@ class MonoSlam:
             fixed = fixed + [True] * pad
         window_ids = jnp.asarray(np.asarray(ids[: self.W], np.int32))
         fixed_mask = jnp.asarray(np.asarray(fixed[: self.W], bool))
-        prob = local_mapping.build_local_ba(
+        prob, sel = local_mapping.build_local_ba(
             self.map, window_ids, fixed_mask, self.cam_params
         )
         res = ba.bundle_adjust(prob, n_iters=n_iters)
-        self.map = local_mapping.apply_local_ba(self.map, window_ids, res)
+        self.map = local_mapping.apply_local_ba(self.map, window_ids, sel, res)
         self.map = local_mapping.drop_ba_outlier_obs(self.map, window_ids, res)
 
     # ------------------------------------------------------------------

@@ -306,6 +306,7 @@ def make_vi_sequence(
     ba=None,
     noise_g: float = 0.0,
     noise_a: float = 0.0,
+    stereo_baseline: float = 0.0,
 ):
     """Render frames + exact IMU for the analytic trajectory.
 
@@ -332,13 +333,17 @@ def make_vi_sequence(
         [f, f, (width - 1) / 2.0, (height - 1) / 2.0, 0, 0, 0, 0, 0], np.float32
     )
     ts = np.arange(n_frames) * frame_dt
-    imgs, Rs, ps = [], [], []
+    imgs, Rs, ps, imgs_r = [], [], [], []
     for i in range(n_frames):
         R, p = pose_jit(jnp.asarray(ts[i]))
         imgs.append(np.asarray(render(scene, R, p, jnp.asarray(cam),
                                       height=height, width=width)[0]))
         Rs.append(np.asarray(R))
         ps.append(np.asarray(p))
+        if stereo_baseline > 0:
+            p_r = p + R @ jnp.asarray([stereo_baseline, 0.0, 0.0])
+            imgs_r.append(np.asarray(render(scene, R, p_r, jnp.asarray(cam),
+                                            height=height, width=width)[0]))
 
     dt_imu = frame_dt / imu_per_frame
     acc = np.zeros((n_frames, imu_per_frame, 3), np.float32)
@@ -364,5 +369,7 @@ def make_vi_sequence(
     seq = SynthSequence(
         images=np.stack(imgs), R_wc=np.stack(Rs), t_wc=np.stack(ps),
         timestamps=ts, cam_params=cam, depths=None,
+        images_right=np.stack(imgs_r) if stereo_baseline > 0 else None,
+        baseline=stereo_baseline,
     )
     return seq, dict(acc=acc, gyro=gyro, dts=dts, vel=vel, gravity=g, bg=bg, ba=ba)
