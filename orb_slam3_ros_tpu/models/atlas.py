@@ -74,6 +74,7 @@ class Atlas:
         from .system import NOT_INITIALIZED
 
         slam.state = NOT_INITIALIZED
+        slam._ref_cache = None
         return keep
 
     # ------------------------------------------------------------------
@@ -110,6 +111,7 @@ class Atlas:
                     slam.vel_R = np.eye(3, dtype=np.float32)
                     slam.vel_t = np.zeros(3, np.float32)
                     slam.state = OK
+                    slam._ref_cache = None
                     del self.maps[k]
                     return True
         return False
@@ -171,6 +173,7 @@ class Atlas:
         slam.t_cur = np.asarray(jax.device_get(merged.kf_t[n_kf - 1]))
         slam.vel_R = np.eye(3, dtype=np.float32)
         slam.vel_t = np.zeros(3, np.float32)
+        slam._ref_cache = None
         del self.maps[archived_idx]
         return True
 

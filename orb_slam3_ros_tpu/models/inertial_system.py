@@ -36,6 +36,7 @@ class InertialSlam(MonoSlam):
         init_after_kf: int = 6,
         **kw,
     ):
+        kw.setdefault("pipelined", False)  # IMU prediction is host-driven
         super().__init__(*args, **kw)
         self.calib = calib
         self.imu_cap_frame = imu_cap_frame
@@ -121,12 +122,15 @@ class InertialSlam(MonoSlam):
                 R_cw, t_cw = viba.cam_from_body(
                     R2, p2, self.calib.R_bc, self.calib.t_bc
                 )
-                R_cw, t_cw, v2 = jax.device_get((R_cw, t_cw, v2))
                 # Seed the motion model with the IMU prediction
-                # (PredictStateIMU replaces constant velocity).
-                self.vel_R = np.asarray(R_cw) @ self.R_cur.T
-                self.vel_t = np.asarray(t_cw) - self.vel_R @ self.t_cur
-                self.v_cur = np.asarray(v2)
+                # (PredictStateIMU replaces constant velocity). These stay
+                # DEVICE handles — the tracker consumes them in its own
+                # jitted program, so no tunnel round trip per frame; the
+                # host-side copies are refreshed by _track_post /
+                # _run_vi_ba's existing fetches.
+                self.vel_R = R_cw @ jnp.asarray(self.R_cur).T
+                self.vel_t = t_cw - self.vel_R @ jnp.asarray(self.t_cur)
+                self.v_cur = v2
 
     # ------------------------------------------------------------------
     def _create_initial_map(self, feats, ts, idx, res):
@@ -229,8 +233,11 @@ class InertialSlam(MonoSlam):
         self.ba_cur = np.asarray(ba, np.float32)
         self.v_cur = np.asarray(v_new[n - 1], np.float32)
         # Update the tracker's current pose (last KF's corrected pose).
-        self.R_cur = np.asarray(jax.device_get(self.map.kf_R[n - 1]))
-        self.t_cur = np.asarray(jax.device_get(self.map.kf_t[n - 1]))
+        self.R_cur, self.t_cur = (
+            np.asarray(a)
+            for a in jax.device_get((self.map.kf_R[n - 1], self.map.kf_t[n - 1]))
+        )
+        self._set_ref_cache(n - 1, self.R_cur, self.t_cur)
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
         self.imu_initialized = True
@@ -289,11 +296,15 @@ class InertialSlam(MonoSlam):
             bias_prior_g=bias_prior_g, bias_prior_a=bias_prior_a,
         )
         self.map = local_mapping.apply_vi_ba(self.map, window_ids, res, self.calib)
-        # sync host bias/velocity with the newest KF estimates
+        # sync host bias/velocity (and the ref-pose cache) with the newest
+        # KF estimates — ONE tunnel fetch.
         kf_last = self.n_kf - 1
-        v, bg, ba = jax.device_get(
-            (self.map.kf_v[kf_last], self.map.kf_bg[kf_last], self.map.kf_ba[kf_last])
+        v, bg, ba, R_ref, t_ref = jax.device_get(
+            (self.map.kf_v[kf_last], self.map.kf_bg[kf_last],
+             self.map.kf_ba[kf_last], self.map.kf_R[kf_last],
+             self.map.kf_t[kf_last])
         )
         self.v_cur = np.asarray(v)
         self.bg_cur = np.asarray(bg)
         self.ba_cur = np.asarray(ba)
+        self._set_ref_cache(kf_last, R_ref, t_ref)

@@ -24,6 +24,7 @@ class StereoSlam(MonoSlam):
     """Rectified stereo pipeline."""
 
     def __init__(self, *args, baseline: float = 0.1, depth_factor_far: float = 40.0, **kw):
+        kw.setdefault("pipelined", False)  # custom per-frame flow below
         super().__init__(*args, **kw)
         self.baseline = baseline
         # points farther than depth_factor_far * baseline are "far" and
@@ -124,6 +125,7 @@ class StereoSlam(MonoSlam):
         if self.loop_closer is not None:
             self.key, sub = jax.random.split(self.key)
             self.loop_closer.try_close(self, kf_id, sub)
+        self._set_ref_cache(self.n_kf - 1, self.R_cur, self.t_cur)
 
     def _run_local_ba(self, n_iters):
         # Stereo gauge: metric scale is observable, one fixed KF suffices;

@@ -50,8 +50,21 @@ class MonoSlam:
         enable_atlas: bool = False,
         lost_patience: int = 10,
         track_window: Optional[int] = None,
+        pipelined: bool = True,
         seed: int = 0,
     ):
+        # ``pipelined``: one-frame-lag tracking. Frame i's track is
+        # dispatched speculatively (pose prediction computed ON DEVICE
+        # from frame i-1's still-in-flight result), its outputs are
+        # queued for async host transfer, and frame i-1's already-arrived
+        # result is processed — hiding the ~36 ms tunnel fetch behind the
+        # next frame's compute. This is the TPU shape of the reference's
+        # tracking/mapping thread overlap (System.cc:178: stages run
+        # concurrently, each on the freshest state available).
+        self.pipelined = pipelined
+        self._pending = None  # in-flight frame: dict(feats, res, ts, idx)
+        self._last2 = None  # (R, t) device handles of frame i-2
+        self._kf_async = None  # deferred keyframe-work results
         # ``track_window``: only project points created by the last W
         # keyframes (the reference's local-map tracking; None = whole
         # map, which makes revisits re-acquire old landmarks and close
@@ -73,7 +86,7 @@ class MonoSlam:
         self.state = NOT_INITIALIZED
         self.map = map_state.empty_map(self.K_cap, self.N, self.P_cap)
         self.n_kf = 0
-        self.n_pts = 0
+        self._n_pts = 0
         self.frame_id = 0
         self.last_kf_frame = 0
         self.key = jax.random.PRNGKey(seed)
@@ -84,6 +97,7 @@ class MonoSlam:
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
 
+        self._ref_cache = None  # (ref_kf_id, R_ref, t_ref) host copy
         self.init_feats: Optional[orb.Features] = None
         self.init_ts = 0.0
         self.trajectory = []  # (ts, Twc 4x4) frozen at track time
@@ -120,6 +134,18 @@ class MonoSlam:
             return feats, res
 
         self._fused_track = jax.jit(_fused)
+
+        # Pipelined variant: constant-velocity prediction computed on
+        # device from the previous two (possibly still in-flight) poses —
+        # no host sync on the critical path.
+        def _fused_dev(img, m, R_prev, t_prev, R_prev2, t_prev2, n_kf):
+            vel_R = R_prev @ R_prev2.T
+            vel_t = t_prev - vel_R @ t_prev2
+            R_pred = vel_R @ R_prev
+            t_pred = vel_R @ t_prev + vel_t
+            return _fused(img, m, R_pred, t_pred, n_kf)
+
+        self._fused_track_dev = jax.jit(_fused_dev)
         self.loop_closer = None
         if enable_loop_closing:
             from .loop_closing import LoopCloser
@@ -127,6 +153,28 @@ class MonoSlam:
             self.loop_closer = LoopCloser()
 
     # ------------------------------------------------------------------
+    @property
+    def n_pts(self):
+        """Live landmark count. Forces absorption of any deferred
+        keyframe-work results so external readers always see the settled
+        value."""
+        if self._kf_async is not None:
+            self._apply_kf_async(force=True)
+        return self._n_pts
+
+    @n_pts.setter
+    def n_pts(self, v):
+        self._n_pts = v
+
+    # ------------------------------------------------------------------
+    def _set_ref_cache(self, ref_id, R_ref, t_ref):
+        """Host-side copy of the reference keyframe's current pose. A
+        device_get over the TPU tunnel costs ~36 ms; the ref KF pose only
+        changes at keyframe events (BA / loop / rescale), so every such
+        site refreshes or invalidates this cache and the per-frame
+        trajectory log never touches the device."""
+        self._ref_cache = (int(ref_id), np.asarray(R_ref), np.asarray(t_ref))
+
     def _log_pose(self, ts):
         Rcw, tcw = self.R_cur, self.t_cur
         Rwc = Rcw.T
@@ -137,8 +185,12 @@ class MonoSlam:
         self.trajectory.append((ts, T))
         if self.n_kf > 0:
             ref = self.n_kf - 1
-            R_ref = np.asarray(jax.device_get(self.map.kf_R[ref]))
-            t_ref = np.asarray(jax.device_get(self.map.kf_t[ref]))
+            if self._ref_cache is None or self._ref_cache[0] != ref:
+                R_ref, t_ref = jax.device_get(
+                    (self.map.kf_R[ref], self.map.kf_t[ref])
+                )
+                self._set_ref_cache(ref, R_ref, t_ref)
+            _, R_ref, t_ref = self._ref_cache
             # T_cr = Tcw_frame * Twc_ref
             R_cr = Rcw @ R_ref.T
             t_cr = tcw - R_cr @ t_ref
@@ -167,6 +219,7 @@ class MonoSlam:
         """Frame trajectory recomposed against the CURRENT keyframe poses
         (reference SaveTrajectoryEuRoC semantics, System.cc:646): all
         loop/BA/IMU-init corrections applied retroactively."""
+        self._drain_pending()
         if not self.rel_traj and not self.frozen_traj:
             return list(self.trajectory)
         return list(self.frozen_traj) + self._compose_rel()
@@ -178,7 +231,13 @@ class MonoSlam:
 
     # ------------------------------------------------------------------
     def process_frame(self, img: np.ndarray, ts: float):
-        """Track one grayscale frame. Returns Twc [4,4] or None."""
+        """Track one grayscale frame. Returns Twc [4,4] or None.
+
+        In pipelined mode the returned pose is the PREVIOUS frame's (one
+        frame of latency); call ``flush()`` (or ``get_trajectory``, which
+        flushes) to drain the last in-flight frame."""
+        if self.pipelined:
+            return self._process_frame_pipelined(img, ts)
         t0 = time.time()
         if self.state == OK:
             self._predict_motion(ts)
@@ -203,6 +262,89 @@ class MonoSlam:
         self.frame_id += 1
         return out
 
+    def _process_frame_pipelined(self, img: np.ndarray, ts: float):
+        t0 = time.time()
+        dispatched = None
+        if self.state == OK:
+            img_d = jnp.asarray(img, jnp.float32)
+            if self._pending is not None:
+                res_p = self._pending["res"]
+                R2, t2 = self._last2
+                feats, res = self._fused_track_dev(
+                    img_d, self.map, res_p.R, res_p.t, R2, t2,
+                    jnp.asarray(self.n_kf),
+                )
+                self._last2 = (res_p.R, res_p.t)
+            else:
+                self._predict_motion(ts)
+                R_pred = self.vel_R @ self.R_cur
+                t_pred = self.vel_R @ self.t_cur + self.vel_t
+                feats, res = self._fused_track(
+                    img_d, self.map, jnp.asarray(R_pred),
+                    jnp.asarray(t_pred), jnp.asarray(self.n_kf),
+                )
+                self._last2 = (jnp.asarray(self.R_cur), jnp.asarray(self.t_cur))
+            # Start the device->host copies now; they complete while the
+            # next frame computes.
+            for h in (res.n_inliers, res.R, res.t):
+                h.copy_to_host_async()
+            dispatched = {"feats": feats, "res": res, "ts": ts,
+                          "idx": self.frame_id}
+            t0 = self._tic("dispatch", t0)
+            out = self._drain_pending()
+        else:
+            self._drain_pending()  # may recover state via reloc
+            if self.state == OK:
+                # Just recovered: track this frame synchronously.
+                self._predict_motion(ts)
+                R_pred = self.vel_R @ self.R_cur
+                t_pred = self.vel_R @ self.t_cur + self.vel_t
+                feats, res = self._fused_track(
+                    jnp.asarray(img, jnp.float32), self.map,
+                    jnp.asarray(R_pred), jnp.asarray(t_pred),
+                    jnp.asarray(self.n_kf),
+                )
+                out = self._track_post(feats, res, ts)
+            else:
+                feats = self._extract(jnp.asarray(img, jnp.float32))
+                jax.block_until_ready(feats.xy)
+                t0 = self._tic("extract", t0)
+                if self.state == NOT_INITIALIZED:
+                    out = self._try_initialize(feats, ts)
+                else:
+                    out = self._try_relocalize(feats, ts)
+        self._pending = dispatched
+        self._tic("frame", t0)
+        self.frame_id += 1
+        return out
+
+    def _drain_pending(self):
+        """Process the previous frame's (already host-bound) result."""
+        self._apply_kf_async()
+        if self._pending is None:
+            return None
+        p, self._pending = self._pending, None
+        if self.state != OK:
+            # State changed since this frame was dispatched (shouldn't
+            # happen: dispatch only occurs in OK) — route to recovery.
+            if self.state == LOST:
+                return self._try_relocalize(p["feats"], p["ts"])
+            return None
+        saved = self.frame_id
+        self.frame_id = p["idx"]  # KF cadence decisions use frame index
+        try:
+            out = self._track_post(p["feats"], p["res"], p["ts"])
+        finally:
+            self.frame_id = saved
+        return out
+
+    def flush(self):
+        """Drain the in-flight frame and deferred keyframe results (end
+        of sequence / before bulk map reads)."""
+        out = self._drain_pending()
+        self._apply_kf_async(force=True)
+        return out
+
     def _predict_motion(self, ts):
         """Hook: update vel_R/vel_t before tracking (constant-velocity by
         default; the inertial pipeline overrides with IMU prediction)."""
@@ -216,6 +358,7 @@ class MonoSlam:
         the PnP hypothesis search."""
         from ..ops import retrieval
 
+        self._apply_kf_async(force=True)
         if self.n_kf < 2:
             return None
         sigs = retrieval.kf_signatures(self.map.kf_desc_sign, self.map.kf_feat_valid)
@@ -350,10 +493,13 @@ class MonoSlam:
         # staying free (gauge handled by KF0 + re-normalization below).
         self._run_local_ba(n_iters=20)
 
-        self.R_cur = np.asarray(jax.device_get(self.map.kf_R[1]))
-        self.t_cur = np.asarray(jax.device_get(self.map.kf_t[1]))
+        self.R_cur, self.t_cur = (
+            np.asarray(a)
+            for a in jax.device_get((self.map.kf_R[1], self.map.kf_t[1]))
+        )
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
+        self._set_ref_cache(1, self.R_cur, self.t_cur)
 
     # ------------------------------------------------------------------
     def _track(self, feats, ts):
@@ -402,6 +548,7 @@ class MonoSlam:
         return since >= self.kf_every or (n_inl < self.kf_min_inliers and since >= 2)
 
     def _insert_keyframe(self, feats, ts, track_res):
+        self._apply_kf_async(force=True)
         kf_id = self.n_kf
         self.map = map_updates.insert_keyframe(
             self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
@@ -423,6 +570,23 @@ class MonoSlam:
         )
         self._run_local_ba(n_iters=self.local_ba_iters)
         self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
+        if (
+            self.pipelined
+            and self.loop_closer is None
+            and self.atlas is None
+        ):
+            # Fully async keyframe work: nothing here blocks on the
+            # device (the reference's LocalMapping thread likewise never
+            # stalls Tracking, LocalMapping.cc:64). The admitted-point
+            # count and the BA-refined pose are fetched at a later drain
+            # once the copies have landed; until then the tracked
+            # (pre-BA) pose serves as the provisional ref-cache entry.
+            handles = (n_new, self.map.kf_R[kf_id], self.map.kf_t[kf_id])
+            for h in handles:
+                h.copy_to_host_async()
+            self._kf_async = (kf_id, handles)
+            self._set_ref_cache(kf_id, self.R_cur, self.t_cur)
+            return
         # One sync: admitted count + BA-refined pose.
         n_new, R_cur, t_cur = jax.device_get(
             (n_new, self.map.kf_R[kf_id], self.map.kf_t[kf_id])
@@ -439,6 +603,30 @@ class MonoSlam:
             self.key, sub = jax.random.split(self.key)
             self._freeze_rel_traj()
             self.atlas.merge_current_into(self, 0, sub)
+        # R_cur/t_cur hold the (possibly loop/merge-corrected) pose of the
+        # newest keyframe at this point.
+        self._set_ref_cache(self.n_kf - 1, self.R_cur, self.t_cur)
+
+    def _apply_kf_async(self, force: bool = False):
+        """Absorb deferred keyframe-work results (point count, refined
+        ref pose). Non-forced calls skip if the copies haven't landed —
+        never blocking the frame loop on the tunnel."""
+        if self._kf_async is None:
+            return
+        kf_id, handles = self._kf_async
+        if not force:
+            try:
+                if not all(h.is_ready() for h in handles):
+                    return
+            except AttributeError:
+                pass  # backend without is_ready: treat as landed
+        self._kf_async = None
+        n_new, R_ref, t_ref = jax.device_get(handles)
+        self.n_pts += int(n_new)
+        if self.n_kf - 1 == kf_id and (
+            self._ref_cache is None or self._ref_cache[0] == kf_id
+        ):
+            self._set_ref_cache(kf_id, R_ref, t_ref)
 
     def _run_local_ba(self, n_iters):
         if self.n_kf < 2:

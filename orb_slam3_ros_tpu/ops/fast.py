@@ -36,10 +36,12 @@ _ARC_LEN = 9  # segment test: >= 9 contiguous pixels (FAST-9/16)
 
 
 def _circle_stack(img: jnp.ndarray) -> jnp.ndarray:
-    """[16, H, W] stack of the circle-neighbor images via rolls."""
+    """[16, ..., H, W] stack of the circle-neighbor images via rolls
+    (rolls act on the trailing two axes, so leading batch dims — e.g. a
+    padded pyramid-level axis — pass through)."""
     outs = []
     for dy, dx in CIRCLE_OFFSETS:
-        outs.append(jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)))
+        outs.append(jnp.roll(img, (-int(dy), -int(dx)), axis=(-2, -1)))
     return jnp.stack(outs, axis=0)
 
 
@@ -61,14 +63,15 @@ def fast_score_map(img: jnp.ndarray, threshold: float):
     threshold (the usual FAST "V" response used for NMS ordering; the
     reference relies on OpenCV's score only to order corners inside
     DistributeOctTree, ORBextractor.cc:443-446)."""
-    circ = _circle_stack(img)  # [16, H, W]
+    circ = _circle_stack(img)  # [16, ..., H, W]
     c = img[None]
     diff = circ - c
     brighter = diff > threshold
     darker = diff < -threshold
     bits = jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32)
-    mb = jnp.sum(jnp.where(brighter, bits[:, None, None], jnp.uint32(0)), axis=0)
-    md = jnp.sum(jnp.where(darker, bits[:, None, None], jnp.uint32(0)), axis=0)
+    bits = bits.reshape((16,) + (1,) * (diff.ndim - 1))
+    mb = jnp.sum(jnp.where(brighter, bits, jnp.uint32(0)), axis=0)
+    md = jnp.sum(jnp.where(darker, bits, jnp.uint32(0)), axis=0)
     corner = _has_arc(mb) | _has_arc(md)
     excess = jnp.maximum(jnp.abs(diff) - threshold, 0.0)
     score = jnp.sum(jnp.where(brighter | darker, excess, 0.0), axis=0)
@@ -81,6 +84,75 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
         score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
     )
     return score >= mx
+
+
+def score_map_combined(
+    img: jnp.ndarray,
+    ini_threshold: float,
+    min_threshold: float,
+):
+    """Combined two-threshold FAST score map: high-threshold corners get a
+    +BIG bump so they always outrank low-threshold-only corners (the
+    reference re-runs cv::FAST at minThFAST only in cells that found
+    nothing at iniThFAST, ORBextractor.cc:829-838). Returns [H, W] f32
+    with -inf at non-corners. Works batched over leading dims (rolls act
+    on the last two axes)."""
+    corner_hi, score_hi = fast_score_map(img, ini_threshold)
+    corner_lo, score_lo = fast_score_map(img, min_threshold)
+    return jnp.where(
+        corner_hi, score_hi + SCORE_BUMP, jnp.where(corner_lo, score_lo, -jnp.inf)
+    )
+
+
+SCORE_BUMP = 1e6  # high-threshold preference offset (scores < 16*255)
+
+
+def select_grid(
+    score: jnp.ndarray,
+    post_mask: jnp.ndarray,
+    max_kp: int,
+    cell: int,
+):
+    """NMS + one-best-corner-per-cell + top-``max_kp`` cells.
+
+    ``score`` must already be -inf outside the image's true extent (so
+    NMS sees the same neighborhood a true-size image would); ``post_mask``
+    (e.g. the descriptor border) is applied AFTER NMS, matching the
+    reference where border-zone corners still suppress neighbors.
+
+    Returns (xy [max_kp, 2] f32, response [max_kp], valid [max_kp])."""
+    h, w = score.shape
+    keep = nms3x3(jnp.where(jnp.isfinite(score), score, -jnp.inf))
+    score = jnp.where(keep & post_mask, score, -jnp.inf)
+
+    ph = (-h) % cell
+    pw = (-w) % cell
+    sp = jnp.pad(score, ((0, ph), (0, pw)), constant_values=-jnp.inf)
+    hc, wc = (h + ph) // cell, (w + pw) // cell
+    cells = sp.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc, wc, cell * cell)
+    best_in_cell = jnp.argmax(cells, axis=-1)  # [hc, wc]
+    best_score = jnp.max(cells, axis=-1)
+
+    flat_scores = best_score.reshape(-1)
+    k = min(max_kp, flat_scores.shape[0])
+    top_scores, top_cells = jax.lax.top_k(flat_scores, k)
+    cy = top_cells // wc
+    cx = top_cells % wc
+    iy = best_in_cell.reshape(-1)[top_cells] // cell
+    ix = best_in_cell.reshape(-1)[top_cells] % cell
+    y = cy * cell + iy
+    x = cx * cell + ix
+    valid = jnp.isfinite(top_scores)
+    resp = jnp.where(top_scores >= SCORE_BUMP, top_scores - SCORE_BUMP, top_scores)
+    xy = jnp.stack([x, y], axis=-1).astype(jnp.float32)
+    xy = jnp.where(valid[:, None], xy, 0.0)
+    resp = jnp.where(valid, resp, -jnp.inf)
+    if k < max_kp:
+        pad = max_kp - k
+        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
+        resp = jnp.concatenate([resp, jnp.full((pad,), -jnp.inf, jnp.float32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return xy, resp, valid
 
 
 def detect_grid(
@@ -101,51 +173,11 @@ def detect_grid(
     reference's EDGE_THRESHOLD = 19, ORBextractor.h / ORBextractor.cc:793).
     """
     h, w = img.shape
-    corner_hi, score_hi = fast_score_map(img, ini_threshold)
-    corner_lo, score_lo = fast_score_map(img, min_threshold)
+    score = score_map_combined(img, ini_threshold, min_threshold)
 
-    # Prefer high-threshold corners: bump their score above every
-    # low-threshold-only corner (scores are bounded by 16*255).
-    BIG = jnp.float32(1e6)
-    score = jnp.where(corner_hi, score_hi + BIG, jnp.where(corner_lo, score_lo, -jnp.inf))
-
-    keep = nms3x3(jnp.where(jnp.isfinite(score), score, -jnp.inf))
-    score = jnp.where(keep, score, -jnp.inf)
-
-    # Border mask.
+    # Border mask (applied after NMS, inside select_grid).
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
-    score = jnp.where(inb, score, -jnp.inf)
 
-    # Pad to cell multiples, reduce per cell.
-    ph = (-h) % cell
-    pw = (-w) % cell
-    sp = jnp.pad(score, ((0, ph), (0, pw)), constant_values=-jnp.inf)
-    hc, wc = (h + ph) // cell, (w + pw) // cell
-    cells = sp.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc, wc, cell * cell)
-    best_in_cell = jnp.argmax(cells, axis=-1)  # [hc, wc]
-    best_score = jnp.max(cells, axis=-1)
-
-    # Top-K cells by score.
-    flat_scores = best_score.reshape(-1)
-    k = min(max_kp, flat_scores.shape[0])
-    top_scores, top_cells = jax.lax.top_k(flat_scores, k)
-    cy = top_cells // wc
-    cx = top_cells % wc
-    iy = best_in_cell.reshape(-1)[top_cells] // cell
-    ix = best_in_cell.reshape(-1)[top_cells] % cell
-    y = cy * cell + iy
-    x = cx * cell + ix
-    valid = jnp.isfinite(top_scores)
-    # Strip the high-threshold bump back out of reported responses.
-    resp = jnp.where(top_scores >= BIG, top_scores - BIG, top_scores)
-    xy = jnp.stack([x, y], axis=-1).astype(jnp.float32)
-    xy = jnp.where(valid[:, None], xy, 0.0)
-    resp = jnp.where(valid, resp, -jnp.inf)
-    if k < max_kp:
-        pad = max_kp - k
-        xy = jnp.concatenate([xy, jnp.zeros((pad, 2), jnp.float32)])
-        resp = jnp.concatenate([resp, jnp.full((pad,), -jnp.inf, jnp.float32)])
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
-    return xy, resp, valid
+    return select_grid(score, inb, max_kp, cell)

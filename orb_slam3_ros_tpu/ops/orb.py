@@ -194,11 +194,141 @@ class Features(NamedTuple):
     valid: jnp.ndarray  # [N] bool
 
 
+PATCH_RAW = 21  # raw patch radius: 18 px max steered-pair reach + 3 blur
+_BLUR_R = 18  # blurred patch radius after VALID 7-tap blur
+
+
+def _patch_blur(patches: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
+    """Blur [N, S, S] keypoint patches with the descriptor Gaussian, VALID
+    (output [N, S-6, S-6]) — same values whole-image blur would produce at
+    those positions, without touching H*W pixels."""
+    k = jnp.asarray(pyr_mod._gaussian_kernel1d(ksize, sigma))
+    x = jax.lax.conv_general_dilated(
+        patches[:, None], k[None, None, :, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    x = jax.lax.conv_general_dilated(
+        x, k[None, None, None, :], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return x[:, 0]
+
+
+def _descriptors_from_patches(bpatch: jnp.ndarray, angle: jnp.ndarray):
+    """Steered 256-pair tests sampled from blurred patches [N, D, D]
+    (D = 2*_BLUR_R+1) via one take_along_axis — no image-space gathers."""
+    n, D, _ = bpatch.shape
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    rot = jnp.stack(
+        [jnp.stack([ca, -sa], -1), jnp.stack([sa, ca], -1)], axis=-2
+    )  # [N,2,2]
+    pat = jnp.asarray(PATTERN)  # [P,2,2]
+    off = jnp.round(jnp.einsum("nij,pkj->npki", rot, pat)).astype(jnp.int32)
+    cx = jnp.clip(off[..., 0] + _BLUR_R, 0, D - 1)  # [N,P,2]
+    cy = jnp.clip(off[..., 1] + _BLUR_R, 0, D - 1)
+    flat_idx = (cy * D + cx).reshape(n, -1)  # [N, P*2]
+    vals = jnp.take_along_axis(
+        bpatch.reshape(n, D * D), flat_idx, axis=1
+    ).reshape(n, -1, 2)
+    return vals[..., 0] < vals[..., 1]
+
+
 def extract(img: jnp.ndarray, config: ExtractorConfig) -> Features:
     """Full ORB-style extraction over the pyramid. ``img`` [H, W] f32 in
     [0, 255]. Equivalent of ``ORBextractor::operator()``
-    (ORBextractor.cc:1086-1168) minus the stereo partitioning (done by the
-    caller)."""
+    (ORBextractor.cc:1086-1168) minus the stereo partitioning (done by
+    the caller).
+
+    TPU-first, patch-centric: FAST runs once batched over a padded
+    [L, H0, W0] level canvas; per-level top-K selection keeps the exact
+    per-level cell grids; then ONE 43x43 patch gather per keypoint feeds
+    orientation (center 31x31 moments), a batched patch blur, and
+    descriptor sampling by ``take_along_axis`` — the whole-image Gaussian
+    blur and the scattered image-space descriptor gathers (the two
+    measured hot spots of the per-level loop, ~16 ms of 46 ms on v5e)
+    disappear entirely. Detection is bit-identical to ``extract_looped``;
+    descriptors can differ only for keypoints whose blur window crosses
+    the level boundary (canvas edge-replication vs whole-image reflect).
+    """
+    L = config.n_levels
+    H0, W0 = config.height, config.width
+    M = PATCH_RAW - 19 + 2  # canvas margin so patch slices never clamp
+    levels = pyr_mod.build_pyramid(img, config.n_levels, config.scale)
+    stack = jnp.stack(
+        [
+            jnp.pad(
+                lv,
+                ((M, H0 + M - lv.shape[0]), (M, W0 + M - lv.shape[1])),
+                mode="edge",
+            )
+            for lv in levels
+        ]
+    )  # [L, H0+2M, W0+2M], level l at offset (M, M)
+
+    score = fast_mod.score_map_combined(
+        stack, config.ini_threshold, config.min_threshold
+    )
+
+    out_xy, out_lvl, out_resp, out_valid = [], [], [], []
+    border = 19
+    for l in range(L):
+        h, w = config.level_shape(l)
+        sc = jax.lax.slice(score, (l, M, M), (l + 1, M + h, M + w))[0]
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        inb = (
+            (ys >= border) & (ys < h - border)
+            & (xs >= border) & (xs < w - border)
+        )
+        xy, resp, valid = fast_mod.select_grid(
+            sc, inb, config.caps[l], config.cell_size(l)
+        )
+        out_xy.append(xy)
+        out_lvl.append(jnp.full((config.caps[l],), l, jnp.int32))
+        out_resp.append(resp)
+        out_valid.append(valid)
+    xy_lv = jnp.concatenate(out_xy)  # [N,2] level coords
+    lvl = jnp.concatenate(out_lvl)
+    resp = jnp.concatenate(out_resp)
+    valid = jnp.concatenate(out_valid)
+
+    # One raw patch per keypoint from the padded canvas.
+    S = 2 * PATCH_RAW + 1
+    y0 = xy_lv[:, 1].astype(jnp.int32) + M - PATCH_RAW
+    x0 = xy_lv[:, 0].astype(jnp.int32) + M - PATCH_RAW
+    patches = jax.vmap(
+        lambda li, yy, xx: jax.lax.dynamic_slice(stack, (li, yy, xx), (1, S, S))[0]
+    )(lvl, y0, x0)  # [N, 43, 43]
+
+    # Orientation from the center 31x31 (identical to angles_at).
+    c0 = PATCH_RAW - PATCH_R
+    center = patches[:, c0 : c0 + 2 * PATCH_R + 1, c0 : c0 + 2 * PATCH_R + 1]
+    kern = jnp.stack(
+        [jnp.asarray(_KX).reshape(-1), jnp.asarray(_KY).reshape(-1)], axis=-1
+    )
+    mom = center.reshape(center.shape[0], -1) @ kern  # [N,2] on the MXU
+    ang = jnp.arctan2(mom[:, 1], mom[:, 0])
+
+    bits = _descriptors_from_patches(_patch_blur(patches), ang)
+
+    scale_l = jnp.asarray(
+        [config.scale**l for l in range(L)], jnp.float32
+    )[lvl][:, None]
+    xy = xy_lv * scale_l
+    return Features(
+        xy=jnp.where(valid[:, None], xy, 0.0),
+        level=lvl,
+        angle=ang,
+        response=resp,
+        desc_packed=pack_bits(bits),
+        desc_sign=jnp.where(valid[:, None], sign_expand(bits), 0),
+        valid=valid,
+    )
+
+
+def extract_looped(img: jnp.ndarray, config: ExtractorConfig) -> Features:
+    """Per-level (exact-size) extraction loop — the parity reference for
+    ``extract``; identical math on each level's true-size image."""
     levels = pyr_mod.build_pyramid(img, config.n_levels, config.scale)
     out_xy, out_lvl, out_ang, out_resp = [], [], [], []
     out_bits, out_valid = [], []

@@ -72,6 +72,30 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
     return x
 
 
+def gaussian_blur_batched(imgs: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
+    """``gaussian_blur`` over a stack [L, H, W] in one conv pair (the
+    level axis rides the convolution batch dimension)."""
+    k = jnp.asarray(_gaussian_kernel1d(ksize, sigma))
+    pad = ksize // 2
+    x = jnp.pad(imgs, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[:, None, :, :],
+        k[None, None, :, None],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[:, None, :, :],
+        k[None, None, None, :],
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    return x
+
+
 def conv2d_same(img: jnp.ndarray, kernel: jnp.ndarray):
     """Single-channel 2-D convolution, zero-padded SAME. kernel [kh, kw]."""
     kh, kw = kernel.shape

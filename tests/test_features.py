@@ -98,6 +98,29 @@ class TestExtractor:
         assert (np.diag(d_mat)[valid] == 0).all()
 
 
+class TestBatchedExtractParity:
+    """The level-batched ``extract`` must reproduce the per-level loop
+    (``extract_looped``): identical detection/orientation, and descriptors
+    equal up to blur-boundary effects on border keypoints."""
+
+    @pytest.mark.parametrize("n_features", [600, 1200])
+    def test_bit_exact(self, seq, n_features):
+        config = orb.default_config(240, 376, n_features=n_features)
+        img = jnp.asarray(seq.images[0])
+        fb = jax.tree.map(np.asarray, orb.extract(img, config))
+        fl = jax.tree.map(np.asarray, orb.extract_looped(img, config))
+        np.testing.assert_array_equal(fb.valid, fl.valid)
+        v = fb.valid
+        np.testing.assert_array_equal(fb.level[v], fl.level[v])
+        np.testing.assert_array_equal(fb.xy[v], fl.xy[v])
+        np.testing.assert_array_equal(fb.response[v], fl.response[v])
+        np.testing.assert_array_equal(fb.angle[v], fl.angle[v])
+        # Descriptors may differ only where a keypoint's blur window
+        # crosses the level edge (canvas replicate vs image reflect);
+        # in practice none do on this data.
+        np.testing.assert_array_equal(fb.desc_packed[v], fl.desc_packed[v])
+
+
 class TestMatching:
     def test_match_consecutive_frames(self, feats):
         f0 = jax.tree.map(jnp.asarray, feats[0])
