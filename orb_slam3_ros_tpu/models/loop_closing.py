@@ -71,7 +71,7 @@ def _match_points_between(m: ms.MapState, kf1: jnp.ndarray, kf2: jnp.ndarray):
     return X1, X2, ok, pt1, pt2
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
+@partial(jax.jit, static_argnames=("n_iters", "four_dof"))
 def _pgo_over_chain(
     m: ms.MapState,
     new_kf: jnp.ndarray,
@@ -81,9 +81,14 @@ def _pgo_over_chain(
     loop_s: jnp.ndarray,
     n_kf: jnp.ndarray,
     n_iters: int = 20,
+    four_dof: bool = False,
 ):
     """Essential-graph optimization: sequential odometry edges + the loop
-    edge, candidate + origin fixed (OptimizeEssentialGraph contract)."""
+    edge, candidate + origin fixed (OptimizeEssentialGraph contract).
+
+    ``four_dof``: inertial maps optimize only world-yaw + translation per
+    keyframe with the loop scale pinned to 1 (the reference switches to
+    OptimizeEssentialGraph4DoF when the map has IMU, LoopClosing.cc:2370)."""
     K = m.K
     ids = jnp.arange(K)
     valid = m.kf_valid & (ids < n_kf)
@@ -109,6 +114,12 @@ def _pgo_over_chain(
     e_valid = jnp.concatenate([seq_valid, jnp.asarray([True])])
     e_w = jnp.concatenate([jnp.ones_like(sm), jnp.asarray([5.0], sm.dtype)])
 
+    if four_dof:
+        # Metric map: rescale the loop translation by its Sim3 scale so the
+        # SE3 measurement is consistent, then pin scale to 1.
+        e_t = e_t.at[-1].set(loop_t / jnp.maximum(loop_s, 1e-6))
+        e_s = jnp.ones_like(e_s)
+
     prob = pgo.PGOProblem(
         R=m.kf_R, t=m.kf_t, s=ones,
         kf_fixed=(ids == cand_kf) | (ids == 0) | ~valid,
@@ -116,7 +127,10 @@ def _pgo_over_chain(
         e_i=e_i, e_j=e_j, e_R=e_R, e_t=e_t, e_s=e_s,
         e_valid=e_valid, e_weight=e_w,
     )
-    res = pgo.optimize_pose_graph(prob, n_iters=n_iters)
+    if four_dof:
+        res = pgo.optimize_pose_graph_4dof(prob, n_iters=n_iters)
+    else:
+        res = pgo.optimize_pose_graph(prob, n_iters=n_iters)
 
     # Scatter back: SE3 pose = (R, t/s); move points with their first KF.
     s_safe = jnp.maximum(res.s, 1e-6)
@@ -158,10 +172,14 @@ class LoopCloser:
     """Host-side loop detection/correction orchestrator."""
 
     def __init__(self, min_gap: int = 10, min_score: float = 0.15,
-                 min_sim3_inliers: int = 20, use_covisibility: bool = True):
+                 min_sim3_inliers: int = 20, use_covisibility: bool = True,
+                 four_dof: bool = False):
         self.min_gap = min_gap
         self.min_score = min_score
         self.min_sim3_inliers = min_sim3_inliers
+        # Inertial maps: 4-dof essential graph (yaw+translation), scale
+        # pinned — the reference's inertial branch (LoopClosing.cc:2370).
+        self.four_dof = four_dof
         # Exclude covisible candidates (the reference's connected-KF
         # exclusion). Note that with full-map projection tracking, a
         # revisit is usually re-acquired by the tracker itself (implicit
@@ -206,10 +224,16 @@ class LoopCloser:
             if not bool(jax.device_get(res.ok)):
                 continue
             # Correct the map, then merge the duplicate landmarks the
-            # drifted revisit created.
+            # drifted revisit created. Inertial maps use the 4-dof
+            # essential graph (pMap->IsInertial() branch in the
+            # reference's CorrectLoop, LoopClosing.cc:2370-2375).
+            four_dof = self.four_dof or bool(
+                getattr(slam, "imu_initialized", False)
+            )
             slam.map, cost = _pgo_over_chain(
                 m, jnp.asarray(new_kf), jnp.asarray(int(c)),
                 res.R, res.t, res.s, jnp.asarray(slam.n_kf),
+                four_dof=four_dof,
             )
             slam.map = _fuse_duplicates(slam.map, pt1, pt2, ok & res.inlier)
             self.last_closed_kf = new_kf

@@ -30,6 +30,26 @@ OK = 1
 LOST = 2
 
 
+@jax.jit
+def _reloc_pnp_inputs(m, kf, feats):
+    """2D-3D correspondences for relocalization PnP: match the query
+    frame's descriptors against keyframe ``kf``'s features and pair the
+    keyframe's bound landmarks (world X) with the query pixels (the
+    reference's SearchByBoW(pKF, frame) -> MLPnP setup)."""
+    kf_feats = orb.Features(
+        xy=m.kf_xy[kf], level=m.kf_level[kf], angle=m.kf_angle[kf],
+        response=jnp.zeros_like(m.kf_angle[kf]),
+        desc_packed=jnp.zeros((m.N, 8), jnp.uint32),
+        desc_sign=m.kf_desc_sign[kf], valid=m.kf_feat_valid[kf],
+    )
+    idx, _ = matching.search_frame_frame(kf_feats, feats, max_dist=64, ratio=0.8)
+    pt = m.kf_obs[kf]
+    ok = (idx >= 0) & (pt >= 0) & m.pt_valid[jnp.clip(pt, 0, m.P - 1)]
+    X = m.pt_X[jnp.clip(pt, 0, m.P - 1)]
+    uv = feats.xy[jnp.clip(idx, 0, m.N - 1)]
+    return X, uv, ok
+
+
 class MonoSlam:
     """Monocular pipeline (the reference's ``System(..., MONOCULAR)``)."""
 
@@ -351,12 +371,13 @@ class MonoSlam:
 
     def _try_relocalize(self, feats, ts):
         """Relocalization after tracking loss (role of
-        ``Tracking::Relocalization``, Tracking.cc:3648: BoW candidates +
-        PnP RANSAC + guided matching). Here: retrieval candidates, then
-        the standard coarse-to-fine projection tracking seeded at each
-        candidate keyframe's pose — the wide first pass plays the role of
-        the PnP hypothesis search."""
-        from ..ops import retrieval
+        ``Tracking::Relocalization``, Tracking.cc:3648: BoW candidates ->
+        PnP RANSAC (MLPnPsolver) -> guided matching + pose optimization).
+        Here: retrieval candidates, descriptor matches against the
+        candidate keyframe's bound landmarks feed a batched PnP RANSAC
+        whose pose seeds the coarse-to-fine projection tracker; if PnP
+        finds no support the candidate's own pose is the fallback seed."""
+        from ..ops import pnp, retrieval
 
         self._apply_kf_async(force=True)
         if self.n_kf < 2:
@@ -372,6 +393,12 @@ class MonoSlam:
                 continue
             R0 = self.map.kf_R[int(c)]
             t0_ = self.map.kf_t[int(c)]
+            X, uv, ok = _reloc_pnp_inputs(self.map, jnp.asarray(int(c)), feats)
+            if int(jax.device_get(ok.sum())) >= 15:
+                self.key, sub = jax.random.split(self.key)
+                pres = pnp.solve_pnp(X, uv, ok, self.cam_params, sub)
+                if bool(jax.device_get(pres.ok)):
+                    R0, t0_ = pres.R, pres.t
             res = tracking.track_against_map(
                 self.map, feats, R0, t0_, self.cam_params,
                 self.width, self.height,

@@ -145,6 +145,129 @@ def optimize_pose_graph(prob: PGOProblem, n_iters: int = 20, lam0: float = 1e-4)
     return PGOResult(R=R, t=t, s=s, cost=cost)
 
 
+# ---------------------------------------------------------------------------
+# 4-DoF essential graph (inertial maps: gravity fixes roll/pitch, IMU fixes
+# scale) — role of Optimizer::OptimizeEssentialGraph4DoF (Optimizer.cc:5437)
+# over VertexPose4DoF/Edge4DoF (G2oTypes.h:155/:817).
+# ---------------------------------------------------------------------------
+
+
+def _apply_pert4(eps, R_iw, t_iw):
+    """Perturb a world->KF pose by a WORLD-frame yaw + translation.
+
+    eps = [dt_w (3), dyaw]; the camera pose in world is left-multiplied by
+    (Rz(dyaw), dt_w), so the camera's roll/pitch relative to gravity is
+    exactly preserved (the reference's VertexPose4DoF update restricts the
+    rotation to the yaw axis the same way)."""
+    dtype = R_iw.dtype
+    dR = lie.so3_exp(jnp.asarray([0.0, 0.0, 1.0], dtype) * eps[3])
+    R_wi = R_iw.T
+    p = -R_iw.T @ t_iw
+    R_wi2 = dR @ R_wi
+    p2 = dR @ p + eps[0:3]
+    R2 = R_wi2.T
+    return R2, -R2 @ p2
+
+
+def _edge_residual_4dof(eps_i, eps_j, Ri, ti, Rj, tj, Rm, tm):
+    """r = log_se3(T_ji_meas * T_iw' * T_wj') — zero when the perturbed
+    states agree with the measured relative pose."""
+    Ri2, ti2 = _apply_pert4(eps_i, Ri, ti)
+    Rj2, tj2 = _apply_pert4(eps_j, Rj, tj)
+    Ra, ta = lie.se3_mul(Rm, tm, Ri2, ti2)
+    Rjinv, tjinv = lie.se3_inv(Rj2, tj2)
+    Re, te = lie.se3_mul(Ra, ta, Rjinv, tjinv)
+    return lie.se3_log(Re, te)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def optimize_pose_graph_4dof(
+    prob: PGOProblem, n_iters: int = 20, lam0: float = 1e-4
+) -> PGOResult:
+    """SE3 pose-graph LM with per-keyframe 4-dof (world-yaw + translation)
+    updates. Edge scales in ``prob.e_s`` are ignored (inertial maps have
+    metric scale); the returned ``s`` is all-ones."""
+    K = prob.R.shape[0]
+    D = 4
+    dtype = prob.R.dtype
+    z4 = jnp.zeros((4,), dtype)
+
+    res0 = jax.vmap(
+        lambda i, j, Rm, tm, R, t: _edge_residual_4dof(
+            z4, z4, R[i], t[i], R[j], t[j], Rm, tm
+        ),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
+    jac_i = jax.vmap(
+        lambda i, j, Rm, tm, R, t: jax.jacfwd(
+            lambda e: _edge_residual_4dof(e, z4, R[i], t[i], R[j], t[j], Rm, tm)
+        )(z4),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
+    jac_j = jax.vmap(
+        lambda i, j, Rm, tm, R, t: jax.jacfwd(
+            lambda e: _edge_residual_4dof(z4, e, R[i], t[i], R[j], t[j], Rm, tm)
+        )(z4),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
+
+    free = (prob.kf_valid & ~prob.kf_fixed).astype(dtype)
+    w_e = prob.e_weight * prob.e_valid.astype(dtype)
+
+    def cost_of(R, t):
+        r = res0(prob.e_i, prob.e_j, prob.e_R, prob.e_t, R, t)
+        return jnp.sum(w_e * jnp.sum(r * r, -1))
+
+    def step(carry, _):
+        R, t, lam, cost = carry
+        args = (prob.e_i, prob.e_j, prob.e_R, prob.e_t, R, t)
+        r = res0(*args)  # [E,6]
+        Ji = jac_i(*args)  # [E,6,4]
+        Jj = jac_j(*args)
+        JiW = Ji * w_e[:, None, None]
+        JjW = Jj * w_e[:, None, None]
+        H = jnp.zeros((K, K, D, D), dtype)
+        H = H.at[prob.e_i, prob.e_i].add(jnp.einsum("eia,eib->eab", JiW, Ji))
+        H = H.at[prob.e_j, prob.e_j].add(jnp.einsum("eia,eib->eab", JjW, Jj))
+        H = H.at[prob.e_i, prob.e_j].add(jnp.einsum("eia,eib->eab", JiW, Jj))
+        H = H.at[prob.e_j, prob.e_i].add(jnp.einsum("eia,eib->eab", JjW, Ji))
+        g = jnp.zeros((K, D), dtype)
+        g = g.at[prob.e_i].add(-jnp.einsum("eia,ei->ea", JiW, r))
+        g = g.at[prob.e_j].add(-jnp.einsum("eia,ei->ea", JjW, r))
+
+        eye = jnp.eye(D, dtype=dtype)
+        diagH = jnp.diagonal(H[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1)
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            (lam * diagH + 1e-8)[..., :, None] * eye
+        )
+        Hm = H * free[:, None, None, None] * free[None, :, None, None]
+        Hm = Hm.at[jnp.arange(K), jnp.arange(K)].add((1.0 - free)[:, None, None] * eye)
+        g = g * free[:, None]
+        delta = jnp.linalg.solve(
+            Hm.transpose(0, 2, 1, 3).reshape(K * D, K * D), g.reshape(K * D)
+        ).reshape(K, D) * free[:, None]
+
+        R2, t2 = jax.vmap(_apply_pert4)(delta, R, t)
+        R2 = lie.normalize_rotation(R2)
+        fb = free[:, None, None] > 0
+        R2 = jnp.where(fb, R2, R)
+        t2 = jnp.where(free[:, None] > 0, t2, t)
+        cost_new = cost_of(R2, t2)
+        better = cost_new < cost
+        R = jnp.where(better, R2, R)
+        t = jnp.where(better, t2, t)
+        lam = jnp.where(better, jnp.maximum(lam * 0.3, 1e-9), jnp.minimum(lam * 5.0, 1e6))
+        cost = jnp.where(better, cost_new, cost)
+        return (R, t, lam, cost), None
+
+    cost0 = cost_of(prob.R, prob.t)
+    (R, t, lam, cost), _ = jax.lax.scan(
+        step, (prob.R, prob.t, jnp.asarray(lam0, dtype), cost0), None,
+        length=n_iters,
+    )
+    return PGOResult(R=R, t=t, s=jnp.ones((K,), dtype), cost=cost)
+
+
 def correct_points(X, pt_ref_kf, R_old, t_old, s_old, R_new, t_new, s_new):
     """Move map points with their reference keyframes after PGO: each
     point transforms by S_new^-1 * S_old of its reference KF (the

@@ -65,7 +65,8 @@ class TestSim3Solver:
         assert bool(res.ok) and float(res.s) == 1.0
 
 
-def make_loop_problem(rng, K=12, drift_rot=0.01, drift_trans=0.05, drift_scale=1.02):
+def make_loop_problem(rng, K=12, drift_rot=0.01, drift_trans=0.05, drift_scale=1.02,
+                      yaw_only=False):
     """Circular trajectory with accumulated odometry drift + 1 loop edge."""
     # GT: KFs on a circle, S_iw = (R_i, t_i, 1)
     R_gt, t_gt = [], []
@@ -101,7 +102,10 @@ def make_loop_problem(rng, K=12, drift_rot=0.01, drift_trans=0.05, drift_scale=1
         e_i.append(k); e_j.append(k + 1)
         e_R.append(Rm); e_t.append(tm); e_s.append(sm)
         # corrupt odometry for the estimate integration
-        dR = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3).astype(np.float32) * drift_rot)))
+        noise = rng.normal(size=3).astype(np.float32) * drift_rot
+        if yaw_only:
+            noise[:2] = 0.0  # rotation drift only about world z
+        dR = np.asarray(lie.so3_exp(jnp.asarray(noise)))
         Rm_n = dR @ Rm
         tm_n = tm + rng.normal(size=3).astype(np.float32) * drift_trans
         sm_n = sm * drift_scale
@@ -150,6 +154,37 @@ class TestPoseGraph:
     def test_fixed_vertex_unchanged(self, rng):
         prob, *_ = make_loop_problem(rng)
         res = pgo.optimize_pose_graph(prob, n_iters=10)
+        np.testing.assert_array_equal(np.asarray(res.R)[0], np.asarray(prob.R)[0])
+        np.testing.assert_array_equal(np.asarray(res.t)[0], np.asarray(prob.t)[0])
+
+    def test_4dof_removes_drift(self, rng):
+        # Inertial-style problem: metric scale (no scale drift), rotation
+        # drift about the gravity axis only -- exactly the regime the
+        # reference's OptimizeEssentialGraph4DoF covers.
+        prob, R_gt, t_gt, s_gt = make_loop_problem(
+            rng, drift_rot=0.03, drift_scale=1.0, yaw_only=True
+        )
+        drift_before = np.linalg.norm(np.asarray(prob.t) - t_gt, axis=-1).max()
+        res = pgo.optimize_pose_graph_4dof(prob, n_iters=25)
+        drift_after = np.linalg.norm(np.asarray(res.t) - t_gt, axis=-1).max()
+        assert drift_before > 0.2, drift_before
+        assert drift_after < 0.12, (drift_before, drift_after)
+        np.testing.assert_array_equal(np.asarray(res.s), 1.0)
+
+    def test_4dof_preserves_roll_pitch(self, rng):
+        prob, *_ = make_loop_problem(
+            rng, drift_rot=0.03, drift_scale=1.0, yaw_only=True
+        )
+        res = pgo.optimize_pose_graph_4dof(prob, n_iters=25)
+        # Each update must be a pure world-yaw: R_wi_new R_wi_old^T is a
+        # rotation about world z.
+        D = np.einsum("kji,kjl->kil", np.asarray(res.R), np.asarray(prob.R))
+        ax = np.asarray(jax.vmap(lie.so3_log)(jnp.asarray(D)))
+        np.testing.assert_allclose(ax[:, :2], 0.0, atol=1e-4)
+
+    def test_4dof_fixed_vertex_unchanged(self, rng):
+        prob, *_ = make_loop_problem(rng, drift_scale=1.0, yaw_only=True)
+        res = pgo.optimize_pose_graph_4dof(prob, n_iters=10)
         np.testing.assert_array_equal(np.asarray(res.R)[0], np.asarray(prob.R)[0])
         np.testing.assert_array_equal(np.asarray(res.t)[0], np.asarray(prob.t)[0])
 
