@@ -173,13 +173,19 @@ class LoopCloser:
 
     def __init__(self, min_gap: int = 10, min_score: float = 0.15,
                  min_sim3_inliers: int = 20, use_covisibility: bool = True,
-                 four_dof: bool = False):
+                 four_dof: bool = False, dump_dir: str | None = None):
         self.min_gap = min_gap
         self.min_score = min_score
         self.min_sim3_inliers = min_sim3_inliers
         # Inertial maps: 4-dof essential graph (yaw+translation), scale
         # pinned — the reference's inertial branch (LoopClosing.cc:2370).
         self.four_dof = four_dof
+        # Optimization-problem dump on each closure (the fork's
+        # SetSaveLoopData subsystem, LoopClosing.cc:987; enabled here via
+        # constructor or ORB_TPU_LOOP_DUMP_DIR).
+        import os
+
+        self.dump_dir = dump_dir or os.environ.get("ORB_TPU_LOOP_DUMP_DIR")
         # Exclude covisible candidates (the reference's connected-KF
         # exclusion). Note that with full-map projection tracking, a
         # revisit is usually re-acquired by the tracker itself (implicit
@@ -188,6 +194,26 @@ class LoopCloser:
         self.use_covisibility = use_covisibility
         self.last_closed_kf = -100
         self.closures = []  # (new_kf, cand_kf, n_inliers)
+
+    def _dump_problem(self, slam, m, new_kf, cand_kf, res, tag):
+        """Write the complete pre/post optimization problem (the fork's
+        SaveOptimizationData pre/post dirs, LoopClosing.cc:2006-2365)."""
+        import os
+
+        from ..utils import optdump
+
+        d = optdump.dump_from_map(
+            m, slam.n_kf,
+            loop_edges=[(
+                new_kf, cand_kf,
+                np.asarray(jax.device_get(res.R)),
+                np.asarray(jax.device_get(res.t)),
+                float(jax.device_get(res.s)),
+            )],
+        )
+        optdump.save_optimization_data(
+            os.path.join(self.dump_dir, f"closure_{new_kf}_{tag}"), **d
+        )
 
     def try_close(self, slam, new_kf: int, key) -> bool:
         """Attempt loop closure on keyframe ``new_kf``. Mutates
@@ -230,11 +256,15 @@ class LoopCloser:
             four_dof = self.four_dof or bool(
                 getattr(slam, "imu_initialized", False)
             )
+            if self.dump_dir:
+                self._dump_problem(slam, m, new_kf, int(c), res, "pre")
             slam.map, cost = _pgo_over_chain(
                 m, jnp.asarray(new_kf), jnp.asarray(int(c)),
                 res.R, res.t, res.s, jnp.asarray(slam.n_kf),
                 four_dof=four_dof,
             )
+            if self.dump_dir:
+                self._dump_problem(slam, slam.map, new_kf, int(c), res, "post")
             slam.map = _fuse_duplicates(slam.map, pt1, pt2, ok & res.inlier)
             self.last_closed_kf = new_kf
             self.closures.append((new_kf, int(c), int(res.n_inliers)))

@@ -30,6 +30,19 @@ def save_tum(path: str, trajectory):
             )
 
 
+def save_euroc(path: str, trajectory):
+    """EuRoC format (System::SaveTrajectoryEuRoC, System.cc:646):
+    nanosecond integer timestamps, then TUM-style pose + quat xyzw."""
+    with open(path, "w") as f:
+        for ts, T in trajectory:
+            q = _quat_xyzw(T[:3, :3])
+            t = T[:3, 3]
+            f.write(
+                f"{int(round(ts * 1e9))} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n"
+            )
+
+
 def save_kitti(path: str, trajectory):
     with open(path, "w") as f:
         for _, T in trajectory:
