@@ -116,6 +116,59 @@ def drop_ba_outlier_obs(
 
 
 @partial(jax.jit, static_argnames=("scale",))
+def build_global_ba(m: MapState, n_kf: jnp.ndarray, cam_params: jnp.ndarray,
+                    scale: float = 1.2):
+    """All-keyframe, all-landmark BA problem — the input of the reference's
+    ``GlobalBundleAdjustemnt`` (Optimizer.cc:52: every KF vertex, KF 0
+    fixed, every MapPoint vertex). No compaction: solve it with the
+    matrix-free Schur-PCG solver (ops/ba_pcg.py), which never materializes
+    the [K, K] reduced system."""
+    K, N, P = m.K, m.N, m.P
+    ids = jnp.arange(K)
+    valid = m.kf_valid & (ids < n_kf)
+    cam_idx = jnp.repeat(ids.astype(jnp.int32), N)
+    flat_obs = m.kf_obs.reshape(-1)
+    pt_idx = jnp.clip(flat_obs, 0, P - 1)
+    edge_valid = (
+        (flat_obs >= 0)
+        & m.kf_feat_valid.reshape(-1)
+        & valid[cam_idx]
+        & m.pt_valid[pt_idx]
+    )
+    inv_sigma2 = 1.0 / scale ** (2.0 * m.kf_level.reshape(-1).astype(jnp.float32))
+    return ba.BAProblem(
+        R=m.kf_R,
+        t=m.kf_t,
+        cam_fixed=(ids == 0) | ~valid,
+        cam_valid=valid,
+        X=m.pt_X,
+        pt_valid=m.pt_valid,
+        cam_idx=cam_idx,
+        pt_idx=pt_idx.astype(jnp.int32),
+        uv=m.kf_xy.reshape(-1, 2),
+        inv_sigma2=inv_sigma2,
+        edge_valid=edge_valid,
+        cam_params=cam_params,
+    )
+
+
+@jax.jit
+def apply_global_ba(m: MapState, res: ba.BAResult) -> MapState:
+    """Scatter a global-BA result back (fixed/invalid slots come back
+    unchanged from the solver) and unbind chi2-outlier observations, the
+    reference's post-GBA update phase (LoopClosing.cc:3660-3780 without
+    the spanning-tree propagation: every KF was in the problem)."""
+    flat_obs = m.kf_obs.reshape(-1)
+    clear = ((flat_obs >= 0) & ~res.inlier).reshape(m.K, m.N)
+    return m._replace(
+        kf_R=res.R,
+        kf_t=res.t,
+        pt_X=jnp.where(m.pt_valid[:, None], res.X, m.pt_X),
+        kf_obs=jnp.where(clear, -1, m.kf_obs),
+    )
+
+
+@partial(jax.jit, static_argnames=("scale",))
 def build_vi_ba(
     m: MapState,
     window_ids: jnp.ndarray,  # [W]

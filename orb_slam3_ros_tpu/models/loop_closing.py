@@ -173,10 +173,17 @@ class LoopCloser:
 
     def __init__(self, min_gap: int = 10, min_score: float = 0.15,
                  min_sim3_inliers: int = 20, use_covisibility: bool = True,
-                 four_dof: bool = False, dump_dir: str | None = None):
+                 four_dof: bool = False, dump_dir: str | None = None,
+                 run_gba: bool = True, gba_iters: int = 8):
         self.min_gap = min_gap
         self.min_score = min_score
         self.min_sim3_inliers = min_sim3_inliers
+        # Global BA after loop correction (the reference spawns a
+        # RunGlobalBundleAdjustment thread from CorrectLoop,
+        # LoopClosing.cc:2529-2537; here it's one Schur-PCG solve whose
+        # dispatch is async on device).
+        self.run_gba = run_gba
+        self.gba_iters = gba_iters
         # Inertial maps: 4-dof essential graph (yaw+translation), scale
         # pinned — the reference's inertial branch (LoopClosing.cc:2370).
         self.four_dof = four_dof
@@ -266,6 +273,17 @@ class LoopCloser:
             if self.dump_dir:
                 self._dump_problem(slam, slam.map, new_kf, int(c), res, "post")
             slam.map = _fuse_duplicates(slam.map, pt1, pt2, ok & res.inlier)
+            if self.run_gba:
+                from ..ops import ba_pcg
+                from . import local_mapping
+
+                prob = local_mapping.build_global_ba(
+                    slam.map, jnp.asarray(slam.n_kf), slam.cam_params
+                )
+                gres = ba_pcg.bundle_adjust_pcg(
+                    prob, n_iters=self.gba_iters, n_cg=50
+                )
+                slam.map = local_mapping.apply_global_ba(slam.map, gres)
             self.last_closed_kf = new_kf
             self.closures.append((new_kf, int(c), int(res.n_inliers)))
             # Refresh the tracker's current pose from the corrected KF.

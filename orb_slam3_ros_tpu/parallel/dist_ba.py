@@ -62,3 +62,18 @@ def distributed_bundle_adjust(
     sharded = shard_problem(prob, mesh)
     with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
         return ba.bundle_adjust(sharded, n_iters=n_iters, **kw)
+
+
+def distributed_bundle_adjust_pcg(
+    prob: ba.BAProblem, mesh: Mesh, n_iters: int = 5, **kw
+) -> ba.BAResult:
+    """Sharded matrix-free Schur-PCG BA — the global-BA scale-out path.
+
+    Every CG matvec is edge-local contractions + two scatter-adds, so
+    GSPMD lowers the point/camera reductions to psum/reduce-scatter over
+    the mesh; nothing K^2-sized is ever built or gathered."""
+    from ..ops import ba_pcg
+
+    sharded = shard_problem(prob, mesh)
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        return ba_pcg.bundle_adjust_pcg(sharded, n_iters=n_iters, **kw)

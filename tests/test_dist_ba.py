@@ -55,3 +55,19 @@ class TestDistributedBA:
             mesh = dist_ba.make_mesh(n_devices=n)
             res = dist_ba.distributed_bundle_adjust(prob, mesh, n_iters=2)
             assert np.isfinite(float(res.cost))
+
+    def test_pcg_matches_single_device(self, rng):
+        from orb_slam3_ros_tpu.ops import ba_pcg
+
+        prob = toy_problem(rng)
+        res_single = ba_pcg.bundle_adjust_pcg(prob, n_iters=4, n_cg=30)
+        mesh = dist_ba.make_mesh(n_devices=8)
+        res_dist = dist_ba.distributed_bundle_adjust_pcg(
+            prob, mesh, n_iters=4, n_cg=30
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_dist.cost), np.asarray(res_single.cost), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_dist.R), np.asarray(res_single.R), atol=1e-4
+        )
