@@ -171,12 +171,12 @@ class InertialSlam(MonoSlam):
             self.imu_stage = 2
 
     # ------------------------------------------------------------------
-    def _initialize_imu(self, rounds: int = 2):
+    def _initialize_imu(self, rounds: int = 1):
         """Gravity/scale/bias initialization + map alignment
-        (LocalMapping::InitializeIMU stage 1). The reference's
-        FullInertialBA co-optimizes gravity direction (EdgeInertialGS);
-        here gravity is re-solved by alternating the closed init solve
-        with the joint VI BA ``rounds`` times."""
+        (LocalMapping::InitializeIMU stage 1): closed-form-seeded
+        InertialOptimization, map alignment, then FullInertialBA with
+        gravity+scale vertices (EdgeInertialGS) — one round suffices
+        because the final BA re-solves gravity/scale jointly."""
         for _ in range(rounds):
             self._imu_init_round()
 
@@ -241,14 +241,11 @@ class InertialSlam(MonoSlam):
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
         self.imu_initialized = True
-        # Full inertial BA over the WHOLE map with bias priors — the
-        # joint visual+inertial solve is what actually settles the
-        # metric scale after a rough init (the reference runs
-        # FullInertialBA(100 it) over all keyframes, Optimizer.cc:392,
-        # called from LocalMapping::InitializeIMU).
-        self._run_vi_ba(
-            window=n, n_iters=25, bias_prior_g=1e2, bias_prior_a=1e6
-        )
+        # Full inertial BA over the WHOLE map with bias priors AND free
+        # gravity-direction/scale vertices — the reference's
+        # FullInertialBA(..., bInit=true) with EdgeInertialGS
+        # (Optimizer.cc:392, called from LocalMapping::InitializeIMU).
+        self._run_vi_ba_gs(n_iters=25, bias_prior_g=1e2, bias_prior_a=1e6)
 
     # ------------------------------------------------------------------
     def _run_local_ba(self, n_iters):
@@ -256,6 +253,83 @@ class InertialSlam(MonoSlam):
             self._run_vi_ba(window=self.W, n_iters=n_iters)
         else:
             super()._run_local_ba(n_iters)
+
+    def _build_full_vi_problem(self):
+        """Assemble the all-keyframe VI problem (only KF0's pose fixed)."""
+        n = self.n_kf
+        ids = list(range(n))
+        fixed = [i == 0 for i in ids]
+        W_eff = max(self.W, n)
+        pad = W_eff - n
+        edge_ok = [True] * (n - 1)
+        if pad > 0:
+            ids = ids + [self.K_cap - 1] * pad
+            fixed = fixed + [True] * pad
+            edge_ok = edge_ok + [False] * pad
+        ids = ids[:W_eff]
+        fixed = fixed[:W_eff]
+        edge_ok = edge_ok[: W_eff - 1]
+        window_ids = jnp.asarray(np.asarray(ids, np.int32))
+        blk_ids = [ids[i + 1] for i in range(len(ids) - 1)]
+        prob = local_mapping.build_vi_ba(
+            self.map, window_ids, jnp.asarray(np.asarray(fixed, bool)),
+            jnp.asarray(self.kf_imu_acc[blk_ids]),
+            jnp.asarray(self.kf_imu_gyro[blk_ids]),
+            jnp.asarray(self.kf_imu_dts[blk_ids]),
+            jnp.asarray(np.asarray(edge_ok, bool)),
+            self.calib, self.cam_params,
+        )
+        return prob, window_ids
+
+    def _run_vi_ba_gs(self, n_iters, bias_prior_g=0.0, bias_prior_a=0.0):
+        """Full inertial BA with EdgeInertialGS gravity/scale vertices,
+        then apply the recovered (Rwg, s) to the whole map — the joint
+        replacement for alternating InertialOptimization with a
+        fixed-gravity full BA."""
+        if self.n_kf < 3:
+            return
+        prob, window_ids = self._build_full_vi_problem()
+        res = viba.vi_bundle_adjust_gs(
+            prob, jnp.eye(3, dtype=jnp.float32), n_iters=n_iters,
+            bias_prior_g=bias_prior_g, bias_prior_a=bias_prior_a,
+            fix_scale=self.imu_fix_scale,
+        )
+        self.map = local_mapping.apply_vi_ba(self.map, window_ids, res, self.calib)
+        s, Rwg = jax.device_get((res.scale, res.Rwg))
+        s = float(s)
+        if np.isfinite(s) and s > 1e-3:
+            # The GS residual measured the visual map as s-times-too-small:
+            # scale/rotate the map like Map::ApplyScaledRotation and put
+            # the velocity vertices (visual units in the GS factor) into
+            # metric units too.
+            R_gw = jnp.asarray(np.asarray(Rwg).T)
+            self.map = map_updates.apply_scaled_rotation(
+                self.map, R_gw, jnp.asarray(s)
+            )
+            self.map = self.map._replace(kf_v=self.map.kf_v * s)
+            self.rel_traj = [
+                (ts, ref, R_cr, t_cr * s)
+                for ts, ref, R_cr, t_cr in self.rel_traj
+            ]
+        self._sync_host_state()
+
+    def _sync_host_state(self):
+        """Refresh host-side bias/velocity/ref-pose from the newest KF —
+        one tunnel fetch."""
+        kf_last = self.n_kf - 1
+        v, bg, ba, R_ref, t_ref = jax.device_get(
+            (self.map.kf_v[kf_last], self.map.kf_bg[kf_last],
+             self.map.kf_ba[kf_last], self.map.kf_R[kf_last],
+             self.map.kf_t[kf_last])
+        )
+        self.v_cur = np.asarray(v)
+        self.bg_cur = np.asarray(bg)
+        self.ba_cur = np.asarray(ba)
+        self.R_cur = np.asarray(R_ref)
+        self.t_cur = np.asarray(t_ref)
+        self._set_ref_cache(kf_last, R_ref, t_ref)
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
 
     def _run_vi_ba(self, window, n_iters, bias_prior_g=0.0, bias_prior_a=0.0):
         if self.n_kf < 2:

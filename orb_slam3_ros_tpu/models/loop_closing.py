@@ -24,6 +24,7 @@ import numpy as np
 from ..ops import lie, matching, pgo, retrieval, sim3solver
 from ..ops.orb import Features
 from . import map_state as ms
+from . import map_updates
 
 
 class LoopCandidate(NamedTuple):
@@ -284,6 +285,12 @@ class LoopCloser:
                     prob, n_iters=self.gba_iters, n_cg=50
                 )
                 slam.map = local_mapping.apply_global_ba(slam.map, gres)
+            # Landmark geometry moved wholesale: recompute viewing
+            # normals / depth bands / representative descriptors now
+            # rather than waiting for the next keyframe cadence.
+            slam.map = map_updates.refresh_point_stats(
+                slam.map, n_levels=slam.config.n_levels
+            )
             self.last_closed_kf = new_kf
             self.closures.append((new_kf, int(c), int(res.n_inliers)))
             # Refresh the tracker's current pose from the corrected KF.

@@ -47,6 +47,12 @@ class MapState(NamedTuple):
     pt_found: jnp.ndarray  # [P] int32 found counter (tracking inlier)
     pt_visible: jnp.ndarray  # [P] int32 visible counter (in frustum)
     pt_first_kf: jnp.ndarray  # [P] int32 creating keyframe
+    # --- MapPoint viewing statistics (MapPoint::UpdateNormalAndDepth,
+    # MapPoint.h:145-154): mean viewing direction + the scale-invariance
+    # distance band that drives PredictScale ---
+    pt_normal: jnp.ndarray  # [P,3] mean unit view direction (world)
+    pt_min_dist: jnp.ndarray  # [P] scale-invariance band lower edge
+    pt_max_dist: jnp.ndarray  # [P] scale-invariance band upper edge (0 = unset)
     # --- inertial body state per keyframe (KeyFrame's mVw/mImuBias,
     # KeyFrame.h:414-419; zeros until IMU initialization) ---
     kf_v: jnp.ndarray  # [K,3] world-frame velocity
@@ -85,6 +91,9 @@ def empty_map(K: int, N: int, P: int, dtype=jnp.float32) -> MapState:
         pt_found=jnp.zeros((P,), jnp.int32),
         pt_visible=jnp.zeros((P,), jnp.int32),
         pt_first_kf=jnp.zeros((P,), jnp.int32),
+        pt_normal=jnp.zeros((P, 3), dtype),
+        pt_min_dist=jnp.zeros((P,), dtype),
+        pt_max_dist=jnp.zeros((P,), dtype),
         kf_v=jnp.zeros((K, 3), dtype),
         kf_bg=jnp.zeros((K, 3), dtype),
         kf_ba=jnp.zeros((K, 3), dtype),

@@ -166,10 +166,93 @@ def apply_scaled_rotation(m: MapState, R_gw: jnp.ndarray, s: jnp.ndarray) -> Map
     initialization (``Map::ApplyScaledRotation``, orb_slam3/src/Map.cc:
     252): X' = s R_gw X, camera poses R_cw' = R_cw R_gw^T, t_cw' = s t_cw
     (reprojection-invariant), world velocities v' = R_gw v (already
-    metric after the init solve)."""
+    metric after the init solve). Viewing normals rotate and the
+    scale-invariance band rescales with the map."""
     return m._replace(
         pt_X=s * m.pt_X @ R_gw.T,
         kf_R=jnp.einsum("kij,lj->kil", m.kf_R, R_gw),
         kf_t=s * m.kf_t,
         kf_v=m.kf_v @ R_gw.T,
+        pt_normal=m.pt_normal @ R_gw.T,
+        pt_min_dist=s * m.pt_min_dist,
+        pt_max_dist=s * m.pt_max_dist,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_obs", "scale", "n_levels"))
+def refresh_point_stats(
+    m: MapState, max_obs: int = 8, scale: float = 1.2, n_levels: int = 8
+) -> MapState:
+    """Recompute per-landmark bookkeeping from current geometry in ONE
+    program — the roles of ``MapPoint::ComputeDistinctiveDescriptors``
+    (representative descriptor = minimum median Hamming distance to the
+    other observations, MapPoint.cc) and ``MapPoint::UpdateNormalAndDepth``
+    (mean viewing direction + scale-invariance distances from the first
+    observing keyframe, MapPoint.h:145-154).
+
+    The reference walks each point's observation list under a mutex on
+    every observation change; here the whole table refreshes at keyframe
+    cadence. Observations are capped at ``max_obs`` per point (kf-id
+    order, so the creating keyframe is always included — it is the
+    reference's mpRefKF for the depth band)."""
+    K, N, P = m.K, m.N, m.P
+    S = K * N
+    dtype = m.pt_X.dtype
+    flat_pt = m.kf_obs.reshape(-1)
+    flat_kf = jnp.arange(S, dtype=jnp.int32) // N
+    has = (flat_pt >= 0) & m.kf_feat_valid.reshape(-1) & m.kf_valid[flat_kf]
+    q = jnp.where(has, flat_pt, P)  # invalid slots sort to the end
+    order = jnp.argsort(q, stable=True).astype(jnp.int32)
+    qs = q[order]
+    # rank of each observation within its point's group
+    start = jnp.searchsorted(qs, qs, side="left")
+    rank = jnp.arange(S, dtype=jnp.int32) - start.astype(jnp.int32)
+    keep = (qs < P) & (rank < max_obs)
+    obs_slot = jnp.full((P, max_obs), -1, jnp.int32)
+    obs_slot = obs_slot.at[
+        jnp.clip(qs, 0, P - 1), jnp.clip(rank, 0, max_obs - 1)
+    ].max(jnp.where(keep, order, -1))
+    valid_obs = obs_slot >= 0  # [P,O]
+    oi = jnp.clip(obs_slot, 0, S - 1)
+    kf_of = oi // N  # [P,O]
+
+    # --- distinctive descriptor: min median pairwise Hamming ---
+    D = m.kf_desc_sign.reshape(S, 256)[oi].astype(jnp.float32)  # [P,O,256]
+    dot = jnp.einsum("poc,pqc->poq", D, D)
+    dist = 0.5 * (256.0 - dot)  # Hamming between sign descriptors
+    pair_ok = valid_obs[:, :, None] & valid_obs[:, None, :]
+    BIG = jnp.asarray(512.0, dtype)
+    dist = jnp.where(pair_ok, dist, BIG)
+    dist_sorted = jnp.sort(dist, axis=-1)  # valid entries first per row
+    n_valid = jnp.sum(valid_obs.astype(jnp.int32), axis=-1)  # [P]
+    med_idx = jnp.clip((n_valid - 1) // 2, 0, max_obs - 1)
+    median = jnp.take_along_axis(
+        dist_sorted, med_idx[:, None, None].repeat(max_obs, 1), axis=-1
+    )[..., 0]  # [P,O]
+    median = jnp.where(valid_obs, median, BIG)
+    best_row = jnp.argmin(median, axis=-1)  # [P]
+    winner = jnp.take_along_axis(
+        m.kf_desc_sign.reshape(S, 256)[oi], best_row[:, None, None], axis=1
+    )[:, 0]  # [P,256] int8
+    touched = n_valid > 0
+    pt_desc = jnp.where(touched[:, None], winner, m.pt_desc_sign)
+
+    # --- normal + scale-invariance band ---
+    C_w = -jnp.einsum("kij,ki->kj", m.kf_R, m.kf_t)  # [K,3] camera centers
+    vec = m.pt_X[:, None, :] - C_w[kf_of]  # [P,O,3]
+    vlen = jnp.linalg.norm(vec, axis=-1)
+    unit = vec / jnp.maximum(vlen, 1e-12)[..., None]
+    nsum = jnp.sum(jnp.where(valid_obs[..., None], unit, 0.0), axis=1)
+    normal = nsum / jnp.maximum(jnp.linalg.norm(nsum, axis=-1), 1e-12)[..., None]
+    pt_normal = jnp.where(touched[:, None], normal, m.pt_normal)
+    # first observation (lowest kf id) = reference keyframe for the band
+    ref_level = m.kf_level.reshape(S)[oi[:, 0]].astype(dtype)
+    dist_ref = vlen[:, 0]
+    max_d = dist_ref * scale**ref_level
+    min_d = max_d / scale ** (n_levels - 1.0)
+    return m._replace(
+        pt_desc_sign=pt_desc,
+        pt_normal=pt_normal,
+        pt_min_dist=jnp.where(touched, min_d, m.pt_min_dist),
+        pt_max_dist=jnp.where(touched, max_d, m.pt_max_dist),
     )

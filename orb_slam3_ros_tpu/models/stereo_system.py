@@ -85,6 +85,9 @@ class StereoSlam(MonoSlam):
             self.map, jnp.asarray(kf_id), X_c, cand,
             jnp.asarray(0), jnp.asarray(self.P_cap),
         )
+        self.map = map_updates.refresh_point_stats(
+            self.map, n_levels=self.config.n_levels
+        )
         self.n_kf = 1
         self.n_pts = int(jax.device_get(n_new))
         self.last_kf_frame = self.frame_id
@@ -116,6 +119,9 @@ class StereoSlam(MonoSlam):
         )
         self._run_local_ba(n_iters=self.local_ba_iters)
         self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
+        self.map = map_updates.refresh_point_stats(
+            self.map, n_levels=self.config.n_levels
+        )
         n_new, R_cur, t_cur = jax.device_get(
             (n_new, self.map.kf_R[kf_id], self.map.kf_t[kf_id])
         )

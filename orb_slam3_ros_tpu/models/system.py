@@ -519,6 +519,9 @@ class MonoSlam:
         # Tracking.cc:2587) — KF0 fixed, scale anchored by unit-ish t21
         # staying free (gauge handled by KF0 + re-normalization below).
         self._run_local_ba(n_iters=20)
+        self.map = map_updates.refresh_point_stats(
+            self.map, n_levels=self.config.n_levels
+        )
 
         self.R_cur, self.t_cur = (
             np.asarray(a)
@@ -597,6 +600,9 @@ class MonoSlam:
         )
         self._run_local_ba(n_iters=self.local_ba_iters)
         self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
+        self.map = map_updates.refresh_point_stats(
+            self.map, n_levels=self.config.n_levels
+        )
         if (
             self.pipelined
             and self.loop_closer is None

@@ -33,24 +33,72 @@ class TrackResult(NamedTuple):
     found_mask: jnp.ndarray  # [P] point was tracked as inlier
 
 
-def _project_points(m: MapState, R, t, cam_params, width, height, margin=2.0):
+def _project_points(
+    m: MapState, R, t, cam_params, width, height, margin=2.0, scale=1.2,
+    n_levels=8, band_lo=0.8, band_hi=1.2, view_min=0.5, predict_scale=False,
+):
+    """Frustum + viewing-statistics gate and scale prediction — the
+    reference's ``Frame::isInFrustum`` (Frame.cc:512: distance within the
+    scale-invariance band, viewing angle < 60 deg vs the point normal)
+    plus ``MapPoint::PredictScale``. Points whose band was never set
+    (pt_max_dist == 0, e.g. freshly admitted) skip the gate and search at
+    their creation octave.
+
+    ``band_lo/band_hi/view_min``: gate slack. The strict reference values
+    (0.8/1.2/0.5) suit refinement passes; the wide first tracking pass
+    relaxes them because here it doubles as the re-acquisition search on
+    drifted revisits (the role the reference delegates to its separate
+    relocalization/loop projection searches with looser thresholds).
+
+    ``predict_scale``: search at the PredictScale octave instead of the
+    creation octave. Off by default: the prediction model assumes the
+    detection octave tracks apparent feature size, which holds for real
+    ORB imagery but not for the synthetic fractal textures used in the
+    in-repo datasets (measured: ~45% of points re-detect 1-2 octaves off
+    the prediction there, which starves the level-windowed matcher)."""
     Xc = jnp.einsum("ij,pj->pi", R, m.pt_X) + t
     uv = cameras.pinhole_project_nodist(cam_params, Xc)
+    O_w = -R.T @ t
+    po = m.pt_X - O_w
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * m.pt_normal, axis=-1) / jnp.maximum(dist, 1e-12)
+    banded = m.pt_max_dist > 0
+    band_ok = (~banded) | (
+        (dist >= band_lo * m.pt_min_dist)
+        & (dist <= band_hi * m.pt_max_dist)
+        & (view_cos > view_min)
+    )
+    if predict_scale:
+        pred_level = jnp.ceil(
+            jnp.log(jnp.maximum(m.pt_max_dist, 1e-12) / jnp.maximum(dist, 1e-12))
+            / jnp.log(scale)
+        ).astype(jnp.int32)
+        pred_level = jnp.where(
+            banded, jnp.clip(pred_level, 0, n_levels - 1), m.pt_level
+        )
+    else:
+        pred_level = m.pt_level
     ok = (
         m.pt_valid
         & (Xc[:, 2] > 0.05)
         & cameras.in_image(uv, width, height, margin)
+        & band_ok
     )
-    return uv, ok
+    return uv, ok, pred_level
 
 
 def _match_and_pose(
     m: MapState, feats: Features, R, t, cam_params, width, height, radius,
-    scale, rounds, iters,
+    scale, rounds, iters, band_lo=0.8, band_hi=1.2, view_min=0.5,
+    predict_scale=False,
 ):
-    uv_proj, proj_ok = _project_points(m, R, t, cam_params, width, height)
+    uv_proj, proj_ok, pred_level = _project_points(
+        m, R, t, cam_params, width, height, scale=scale,
+        band_lo=band_lo, band_hi=band_hi, view_min=view_min,
+        predict_scale=predict_scale,
+    )
     idx, dist = matching.search_by_projection(
-        uv_proj, proj_ok, m.pt_level, m.pt_desc_sign, feats,
+        uv_proj, proj_ok, pred_level, m.pt_desc_sign, feats,
         radius=radius, scale=scale, max_dist=hamming.TH_HIGH, ratio=0.9,
     )  # per-point best feature
     matched = idx >= 0
@@ -64,7 +112,7 @@ def _match_and_pose(
     return res, idx, proj_ok
 
 
-@partial(jax.jit, static_argnames=("width", "height", "scale"))
+@partial(jax.jit, static_argnames=("width", "height", "scale", "predict_scale"))
 def track_against_map(
     m: MapState,
     feats: Features,
@@ -75,6 +123,7 @@ def track_against_map(
     height: int,
     scale: float = 1.2,
     pt_mask: jnp.ndarray | None = None,
+    predict_scale: bool = False,
 ) -> TrackResult:
     """Two-pass project/match/optimize against the full point table.
 
@@ -92,6 +141,7 @@ def track_against_map(
     res0, _, _ = _match_and_pose(
         m, feats, R_pred, t_pred, cam_params, width, height,
         radius=60.0, scale=scale, rounds=2, iters=8,
+        band_lo=0.4, band_hi=2.5, view_min=0.0,
     )
     res1, _, _ = _match_and_pose(
         m, feats, res0.R, res0.t, cam_params, width, height,

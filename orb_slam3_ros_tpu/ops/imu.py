@@ -224,3 +224,18 @@ def inertial_residual(
     ev = R1.T @ (v2 - v1 - g * t) - dV
     ep = R1.T @ (p2 - p1 - v1 * t - 0.5 * g * t * t) - dP
     return jnp.concatenate([er, ev, ep])
+
+
+def inertial_residual_gs(R1, p1, v1, b1, R2, p2, v2, preint: Preintegrated,
+                         gravity, scale):
+    """Preintegration residual with a free metric scale multiplying the
+    visual-frame velocity/position differences (the reference's
+    ``EdgeInertialGS::computeError``, G2oTypes.cc:
+    ev = R1^T (s (v2 - v1) - g dt) - dV,
+    ep = R1^T (s (p2 - p1 - v1 dt) - 0.5 g dt^2) - dP)."""
+    t = preint.dT
+    dR, dV, dP = delta_with_bias(preint, b1)
+    er = lie.so3_log(dR.T @ R1.T @ R2)
+    ev = R1.T @ (scale * (v2 - v1) - gravity * t) - dV
+    ep = R1.T @ (scale * (p2 - p1 - v1 * t) - 0.5 * gravity * t * t) - dP
+    return jnp.concatenate([er, ev, ep])

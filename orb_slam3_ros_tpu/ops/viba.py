@@ -383,6 +383,323 @@ def vi_bundle_adjust(
 
 
 # ---------------------------------------------------------------------------
+# Full inertial BA with gravity-direction + scale vertices (EdgeInertialGS)
+# ---------------------------------------------------------------------------
+
+
+def _inertial_residual_gs27(eps, Ri, pi, vi, bgi, bai, Rj, pj, vj, preint, Rwg, s):
+    """9-dim GS preintegration residual over the 27-dim stacked perturbation
+    [state_i(15), pose_j(6), dv_j(3), dtheta_g(2), dlog_s(1)] — the
+    reference's EdgeInertialGS multi-edge (G2oTypes.h:548) with its
+    VertexGDir (2-dof) and VertexScale vertices."""
+    Ri2, pi2, vi2, bgi2, bai2 = _apply_pert(Ri, pi, vi, bgi, bai, eps[0:15])
+    Rj2 = Rj @ lie.so3_exp(eps[15:18])
+    pj2 = pj + Rj @ eps[18:21]
+    vj2 = vj + eps[21:24]
+    dth = jnp.concatenate([eps[24:26], jnp.zeros((1,), eps.dtype)])
+    Rwg2 = Rwg @ lie.so3_exp(dth)
+    s2 = s * jnp.exp(eps[26])
+    g_w = Rwg2 @ jnp.asarray([0.0, 0.0, -imu.GRAVITY], eps.dtype)
+    b1 = jnp.concatenate([bgi2, bai2])
+    return imu.inertial_residual_gs(Ri2, pi2, vi2, b1, Rj2, pj2, vj2, preint, g_w, s2)
+
+
+class VIBAGSResult(NamedTuple):
+    states: VIStates
+    X: jnp.ndarray
+    Rwg: jnp.ndarray  # [3,3] refined gravity-alignment rotation
+    scale: jnp.ndarray  # [] refined metric scale of the visual map
+    cost: jnp.ndarray
+    chi2_visual: jnp.ndarray
+    inlier: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_iters", "use_robust", "fix_scale"))
+def vi_bundle_adjust_gs(
+    prob: VIBAProblem,
+    Rwg0: jnp.ndarray,
+    n_iters: int = 15,
+    chi2_th: float = robust.CHI2_MONO,
+    use_robust: bool = True,
+    bias_prior_g: float = 0.0,
+    bias_prior_a: float = 0.0,
+    fix_scale: bool = False,
+    lam0: float = 1e-3,
+) -> VIBAGSResult:
+    """Full inertial BA that co-optimizes gravity direction (2-dof) and a
+    global metric scale with all body states + landmarks — the reference's
+    ``FullInertialBA(..., bInit=true)`` (Optimizer.cc:392) using
+    EdgeInertialGS instead of alternating InertialOptimization with a
+    fixed-gravity BA. The visual map stays in its own (visual) scale
+    inside the solve; the caller applies the returned (Rwg, scale) to the
+    map afterwards (Map::ApplyScaledRotation semantics)."""
+    st0 = prob.states
+    K = st0.R_wb.shape[0]
+    P = prob.X.shape[0]
+    D = 15
+    G = 3  # [dtheta_gx, dtheta_gy, dlog_s]
+    KD = K * D
+    dtype = prob.X.dtype
+    delta2 = chi2_th
+
+    ie_info = jax.vmap(lambda C: _info_from_cov(C, slice(0, 9)))(prob.ie_preint.C)
+    info_bgw = jax.vmap(lambda C: _info_from_cov(C, slice(9, 12)))(prob.ie_preint.C)
+    info_baw = jax.vmap(lambda C: _info_from_cov(C, slice(12, 15)))(prob.ie_preint.C)
+
+    vres_fn = jax.vmap(
+        lambda R, p, X, uv: _visual_residual(
+            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, p, X, uv,
+            prob.cam_params, prob.R_bc, prob.t_bc,
+        )
+    )
+    vjac_fn = jax.vmap(
+        lambda R, p, X, uv: (
+            jax.jacfwd(
+                lambda e: _visual_residual(
+                    e, jnp.zeros(3, dtype), R, p, X, uv,
+                    prob.cam_params, prob.R_bc, prob.t_bc,
+                )
+            )(jnp.zeros(6, dtype)),
+            jax.jacfwd(
+                lambda e: _visual_residual(
+                    jnp.zeros(6, dtype), e, R, p, X, uv,
+                    prob.cam_params, prob.R_bc, prob.t_bc,
+                )
+            )(jnp.zeros(3, dtype)),
+        )
+    )
+    ires_fn = jax.vmap(
+        lambda Ri, pi, vi, bgi, bai, Rj, pj, vj, pre, Rwg, s: _inertial_residual_gs27(
+            jnp.zeros(27, dtype), Ri, pi, vi, bgi, bai, Rj, pj, vj, pre, Rwg, s
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+    )
+    ijac_fn = jax.vmap(
+        lambda Ri, pi, vi, bgi, bai, Rj, pj, vj, pre, Rwg, s: jax.jacfwd(
+            lambda e: _inertial_residual_gs27(
+                e, Ri, pi, vi, bgi, bai, Rj, pj, vj, pre, Rwg, s
+            )
+        )(jnp.zeros(27, dtype)),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None, None),
+    )
+
+    def ie_args(st):
+        return (
+            st.R_wb[prob.ie_i], st.p_wb[prob.ie_i], st.v_w[prob.ie_i],
+            st.bg[prob.ie_i], st.ba[prob.ie_i],
+            st.R_wb[prob.ie_j], st.p_wb[prob.ie_j], st.v_w[prob.ie_j],
+            prob.ie_preint,
+        )
+
+    def total_cost(st, X, Rwg, s):
+        r = vres_fn(st.R_wb[prob.cam_idx], st.p_wb[prob.cam_idx],
+                    X[prob.pt_idx], prob.uv)
+        chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
+        if use_robust:
+            rho = jnp.where(
+                chi2 <= delta2,
+                chi2,
+                2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2,
+            )
+        else:
+            rho = chi2
+        c_vis = jnp.sum(jnp.where(prob.edge_valid, rho, 0.0))
+        ri = ires_fn(*ie_args(st), Rwg, s)
+        c_in = jnp.sum(
+            jnp.where(prob.ie_valid, jnp.einsum("qi,qij,qj->q", ri, ie_info, ri), 0.0)
+        )
+        dbg = st.bg[prob.ie_j] - st.bg[prob.ie_i]
+        dba = st.ba[prob.ie_j] - st.ba[prob.ie_i]
+        c_rw = jnp.sum(
+            jnp.where(
+                prob.ie_valid,
+                jnp.einsum("qi,qij,qj->q", dbg, info_bgw, dbg)
+                + jnp.einsum("qi,qij,qj->q", dba, info_baw, dba),
+                0.0,
+            )
+        )
+        c_prior = bias_prior_g * jnp.sum(st.bg * st.bg) + bias_prior_a * jnp.sum(
+            st.ba * st.ba
+        )
+        return c_vis + c_in + c_rw + c_prior
+
+    free_pose = (prob.kf_valid & ~prob.kf_fixed).astype(dtype)
+    free_vb = prob.kf_valid.astype(dtype)
+    free_d = jnp.concatenate(
+        [jnp.repeat(free_pose[:, None], 6, axis=1),
+         jnp.repeat(free_vb[:, None], 9, axis=1)],
+        axis=1,
+    )  # [K,15]
+    free_g = jnp.asarray([1.0, 1.0, 0.0 if fix_scale else 1.0], dtype)
+    free_full = jnp.concatenate([free_d.reshape(KD), free_g])  # [KD+3]
+
+    def step(carry, _):
+        st, X, Rwg, s, lam, cost = carry
+        H = jnp.zeros((K, K, D, D), dtype)
+        g = jnp.zeros((K, D), dtype)
+        Hg = jnp.zeros((K, G, D), dtype)  # gravity/scale <-> body borders
+        Hgg = jnp.zeros((G, G), dtype)
+        gg = jnp.zeros((G,), dtype)
+
+        # ---- visual edges (identical to vi_bundle_adjust) ----
+        Re = st.R_wb[prob.cam_idx]
+        pe = st.p_wb[prob.cam_idx]
+        Xe = X[prob.pt_idx]
+        r = vres_fn(Re, pe, Xe, prob.uv)
+        Jc6, Jp = vjac_fn(Re, pe, Xe, prob.uv)
+        chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
+        w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
+        w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)
+        JcW = Jc6 * w[:, None, None]
+        H = H.at[prob.cam_idx, prob.cam_idx, :6, :6].add(
+            jnp.einsum("eia,eib->eab", JcW, Jc6)
+        )
+        g = g.at[prob.cam_idx, :6].add(-jnp.einsum("eia,ei->ea", JcW, r))
+        Hpp = jnp.zeros((P, 3, 3), dtype).at[prob.pt_idx].add(
+            jnp.einsum("eia,eib->eab", Jp * w[:, None, None], Jp)
+        )
+        gp = jnp.zeros((P, 3), dtype).at[prob.pt_idx].add(
+            -jnp.einsum("eia,ei->ea", Jp * w[:, None, None], r)
+        )
+        Wcp = (
+            jnp.zeros((K * P, 6, 3), dtype)
+            .at[prob.cam_idx * P + prob.pt_idx]
+            .add(jnp.einsum("eia,eib->eab", JcW, Jp))
+            .reshape(K, P, 6, 3)
+        )
+
+        # ---- GS inertial edges ----
+        ri = ires_fn(*ie_args(st), Rwg, s)  # [Q,9]
+        Ji = ijac_fn(*ie_args(st), Rwg, s)  # [Q,9,27]
+        wq = prob.ie_valid.astype(dtype)
+        InfoW = ie_info * wq[:, None, None]
+        JtI = jnp.einsum("qia,qij->qaj", Ji, InfoW)  # [Q,27,9]
+        Hq = jnp.einsum("qaj,qjb->qab", JtI, Ji)  # [Q,27,27]
+        gq = -jnp.einsum("qaj,qj->qa", JtI, ri)  # [Q,27]
+        ii, jj = prob.ie_i, prob.ie_j
+        H = H.at[ii, ii].add(Hq[:, 0:15, 0:15])
+        H = H.at[jj, jj, 0:6, 0:6].add(Hq[:, 15:21, 15:21])
+        H = H.at[jj, jj, 0:6, 6:9].add(Hq[:, 15:21, 21:24])
+        H = H.at[jj, jj, 6:9, 0:6].add(Hq[:, 21:24, 15:21])
+        H = H.at[jj, jj, 6:9, 6:9].add(Hq[:, 21:24, 21:24])
+        H = H.at[ii, jj, :, 0:6].add(Hq[:, 0:15, 15:21])
+        H = H.at[ii, jj, :, 6:9].add(Hq[:, 0:15, 21:24])
+        H = H.at[jj, ii, 0:6, :].add(Hq[:, 15:21, 0:15])
+        H = H.at[jj, ii, 6:9, :].add(Hq[:, 21:24, 0:15])
+        g = g.at[ii].add(gq[:, 0:15])
+        g = g.at[jj, 0:6].add(gq[:, 15:21])
+        g = g.at[jj, 6:9].add(gq[:, 21:24])
+        # global borders
+        Hg = Hg.at[ii, :, 0:15].add(Hq[:, 24:27, 0:15])
+        Hg = Hg.at[jj, :, 0:6].add(Hq[:, 24:27, 15:21])
+        Hg = Hg.at[jj, :, 6:9].add(Hq[:, 24:27, 21:24])
+        Hgg = Hgg + jnp.sum(Hq[:, 24:27, 24:27], axis=0)
+        gg = gg + jnp.sum(gq[:, 24:27], axis=0)
+
+        # ---- bias random-walk edges ----
+        dbg = st.bg[jj] - st.bg[ii]
+        dba = st.ba[jj] - st.ba[ii]
+        for info, dvec, off in ((info_bgw, dbg, 9), (info_baw, dba, 12)):
+            infoW = info * wq[:, None, None]
+            H = H.at[ii, ii, off : off + 3, off : off + 3].add(infoW)
+            H = H.at[jj, jj, off : off + 3, off : off + 3].add(infoW)
+            H = H.at[ii, jj, off : off + 3, off : off + 3].add(-infoW)
+            H = H.at[jj, ii, off : off + 3, off : off + 3].add(-infoW)
+            gv = jnp.einsum("qij,qj->qi", infoW, dvec)
+            g = g.at[ii, off : off + 3].add(gv)
+            g = g.at[jj, off : off + 3].add(-gv)
+
+        # ---- bias priors ----
+        diag_idx = jnp.arange(K)
+        pr = jnp.zeros((D,), dtype)
+        pr = pr.at[9:12].set(bias_prior_g).at[12:15].set(bias_prior_a)
+        H = H.at[diag_idx, diag_idx].add(jnp.diag(pr))
+        g = g - jnp.concatenate(
+            [jnp.zeros((K, 9), dtype), bias_prior_g * st.bg, bias_prior_a * st.ba],
+            axis=1,
+        )
+
+        # ---- damping + landmark Schur (visual part only) ----
+        eye = jnp.eye(D, dtype=dtype)
+        diagH = jnp.diagonal(H[diag_idx, diag_idx], axis1=-2, axis2=-1)
+        H = H.at[diag_idx, diag_idx].add((lam * diagH + 1e-6)[..., :, None] * eye)
+        Hgg_d = Hgg + (lam * jnp.diag(Hgg) + 1e-6) * jnp.eye(G, dtype=dtype)
+        Hpp_d = Hpp + (
+            lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-6
+        )[..., :, None] * jnp.eye(3, dtype=dtype)
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Y = jnp.einsum("kpab,pbc->kpac", Wcp, Hpp_inv)
+        S_vis = -jnp.einsum("kpac,lpbc->klab", Y, Wcp)
+        H = H.at[:, :, :6, :6].add(S_vis)
+        rhs = g.at[:, :6].add(-jnp.einsum("kpab,pb->ka", Y, gp))
+
+        # ---- assemble the bordered full system [KD+3, KD+3] ----
+        Hfull = jnp.zeros((KD + G, KD + G), dtype)
+        Hfull = Hfull.at[:KD, :KD].set(
+            H.transpose(0, 2, 1, 3).reshape(KD, KD)
+        )
+        Hg_flat = Hg.transpose(1, 0, 2).reshape(G, KD)
+        Hfull = Hfull.at[KD:, :KD].set(Hg_flat)
+        Hfull = Hfull.at[:KD, KD:].set(Hg_flat.T)
+        Hfull = Hfull.at[KD:, KD:].set(Hgg_d)
+        rhs_full = jnp.concatenate([rhs.reshape(KD), gg])
+
+        Hm = Hfull * free_full[:, None] * free_full[None, :]
+        Hm = Hm + jnp.diag(1.0 - free_full)
+        rhs_full = rhs_full * free_full
+        delta_full = jnp.linalg.solve(Hm, rhs_full) * free_full
+        delta = delta_full[:KD].reshape(K, D)
+        dgs = delta_full[KD:]
+
+        rhs_p = gp - jnp.einsum("kpab,ka->pb", Wcp, delta[:, :6])
+        delta_p = jnp.einsum("pab,pb->pa", Hpp_inv, rhs_p) * prob.pt_valid[
+            :, None
+        ].astype(dtype)
+
+        newR = jnp.einsum("kij,kjl->kil", st.R_wb, lie.so3_exp(delta[:, 0:3]))
+        newR = lie.normalize_rotation(newR)
+        newp = st.p_wb + jnp.einsum("kij,kj->ki", st.R_wb, delta[:, 3:6])
+        st_new = VIStates(
+            R_wb=jnp.where(free_pose[:, None, None] > 0, newR, st.R_wb),
+            p_wb=jnp.where(free_pose[:, None] > 0, newp, st.p_wb),
+            v_w=st.v_w + delta[:, 6:9],
+            bg=st.bg + delta[:, 9:12],
+            ba=st.ba + delta[:, 12:15],
+        )
+        X_new = X + delta_p
+        Rwg_new = lie.normalize_rotation(
+            Rwg @ lie.so3_exp(jnp.concatenate([dgs[0:2], jnp.zeros((1,), dtype)]))
+        )
+        s_new = s * jnp.exp(dgs[2])
+        cost_new = total_cost(st_new, X_new, Rwg_new, s_new)
+        better = cost_new < cost
+        st = jax.tree.map(
+            lambda a, b: jnp.where(jnp.reshape(better, (1,) * a.ndim), b, a),
+            st, st_new,
+        )
+        X = jnp.where(better, X_new, X)
+        Rwg = jnp.where(better, Rwg_new, Rwg)
+        s = jnp.where(better, s_new, s)
+        lam = jnp.where(better, jnp.maximum(lam * 0.4, 1e-8), jnp.minimum(lam * 5.0, 1e6))
+        cost = jnp.where(better, cost_new, cost)
+        return (st, X, Rwg, s, lam, cost), None
+
+    s0 = jnp.asarray(1.0, dtype)
+    cost0 = total_cost(st0, prob.X, Rwg0, s0)
+    (st, X, Rwg, s, lam, cost), _ = jax.lax.scan(
+        step, (st0, prob.X, Rwg0, s0, jnp.asarray(lam0, dtype), cost0),
+        None, length=n_iters,
+    )
+    r = vres_fn(st.R_wb[prob.cam_idx], st.p_wb[prob.cam_idx], X[prob.pt_idx], prob.uv)
+    chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
+    inlier = prob.edge_valid & (chi2 <= chi2_th)
+    return VIBAGSResult(
+        states=st, X=X, Rwg=Rwg, scale=s, cost=cost,
+        chi2_visual=chi2, inlier=inlier,
+    )
+
+
+# ---------------------------------------------------------------------------
 # IMU initialization: gravity direction + scale + shared biases + velocities
 # ---------------------------------------------------------------------------
 

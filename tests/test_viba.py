@@ -108,6 +108,64 @@ class TestVIBA:
         np.testing.assert_allclose(ba_est, ba, atol=5e-2)
 
 
+class TestVIBAGravityScale:
+    def _to_visual(self, sim, prob, X, s_true, Rwg_true):
+        """Re-express a metric gravity-aligned problem in a 'visual' world
+        frame that is scaled by 1/s_true and rotated so gravity points
+        along Rwg_true @ (0,0,-G) — the state a mono map is in before IMU
+        init finishes."""
+        Rv = np.asarray(Rwg_true, np.float32)
+        st = prob.states
+        return prob._replace(
+            states=st._replace(
+                R_wb=jnp.einsum("ij,kjl->kil", jnp.asarray(Rv), st.R_wb),
+                p_wb=(st.p_wb @ jnp.asarray(Rv.T)) / s_true,
+                v_w=(st.v_w @ jnp.asarray(Rv.T)) / s_true,
+            ),
+            X=(prob.X @ jnp.asarray(Rv.T)) / s_true,
+        )
+
+    def test_recovers_scale_and_gravity(self, rng):
+        s_true = 2.4
+        Rwg_true = np.asarray(lie.so3_exp(jnp.asarray([0.06, -0.09, 0.0])))
+        sim = simulate_vi(rng, n_kf=8)
+        prob, X = build_vi_problem(rng, sim, perturb=0.0, px_noise=0.2)
+        prob = self._to_visual(sim, prob, X, s_true, Rwg_true)
+        res = viba.vi_bundle_adjust_gs(
+            prob, jnp.eye(3, dtype=jnp.float32), n_iters=20,
+            bias_prior_g=1e2, bias_prior_a=1e6,
+        )
+        s_est = float(res.scale)
+        assert abs(s_est - s_true) / s_true < 0.03, s_est
+        g_est = np.asarray(res.Rwg) @ np.asarray([0.0, 0.0, -1.0])
+        g_true = Rwg_true @ np.asarray([0.0, 0.0, -1.0])
+        cosang = float(np.dot(g_est, g_true))
+        assert cosang > np.cos(np.deg2rad(1.0)), cosang
+
+    def test_fix_scale_keeps_scale_one(self, rng):
+        sim = simulate_vi(rng, n_kf=6)
+        prob, _ = build_vi_problem(rng, sim, px_noise=0.2)
+        res = viba.vi_bundle_adjust_gs(
+            prob, jnp.eye(3, dtype=jnp.float32), n_iters=6, fix_scale=True,
+        )
+        assert abs(float(res.scale) - 1.0) < 1e-6
+
+    def test_metric_input_scale_near_one(self, rng):
+        # Already-metric, gravity-aligned input: GS must not disturb it.
+        sim = simulate_vi(rng, n_kf=8)
+        prob, _ = build_vi_problem(rng, sim, perturb=0.01, vel_perturb=0.05,
+                                   px_noise=0.2)
+        res = viba.vi_bundle_adjust_gs(
+            prob, jnp.eye(3, dtype=jnp.float32), n_iters=12,
+            bias_prior_g=1e2, bias_prior_a=1e6,
+        )
+        assert abs(float(res.scale) - 1.0) < 0.03, float(res.scale)
+        for k in range(1, 6):
+            np.testing.assert_allclose(
+                np.asarray(res.states.p_wb)[k], sim["p_wb"][k], atol=4e-2
+            )
+
+
 class TestInertialInit:
     def test_recovers_gravity_scale_bias(self, rng):
         bg = np.array([0.012, -0.018, 0.02])
