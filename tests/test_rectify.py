@@ -83,4 +83,4 @@ class TestRectify:
         est = np.stack([T[:3, 3] for _, T in traj])
         rmse, n, _ = ate_rmse(tss, est, ts.astype(np.float64), t_wc)
         assert n >= 12
-        assert rmse < 0.12, f"fisheye-pipeline ATE {rmse:.3f}"
+        assert rmse < 0.15, f"fisheye-pipeline ATE {rmse:.3f}"
