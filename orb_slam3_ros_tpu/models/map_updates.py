@@ -15,6 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops import cameras, hamming, matching
 from ..ops.orb import Features
 from .map_state import MapState, obs_matrix
 from .tracking import TrackResult, TriangulationResult
@@ -176,6 +177,234 @@ def apply_scaled_rotation(m: MapState, R_gw: jnp.ndarray, s: jnp.ndarray) -> Map
         pt_normal=m.pt_normal @ R_gw.T,
         pt_min_dist=s * m.pt_min_dist,
         pt_max_dist=s * m.pt_max_dist,
+    )
+
+
+def _kf_feats(m: MapState, kf: jnp.ndarray) -> Features:
+    return Features(
+        xy=m.kf_xy[kf], level=m.kf_level[kf], angle=m.kf_angle[kf],
+        response=jnp.zeros_like(m.kf_angle[kf]),
+        desc_packed=jnp.zeros((m.N, 8), jnp.uint32),
+        desc_sign=m.kf_desc_sign[kf], valid=m.kf_feat_valid[kf],
+    )
+
+
+def _fuse_into_kf(
+    m: MapState, src_pts: jnp.ndarray, dst_kf: jnp.ndarray, active: jnp.ndarray,
+    cam_params: jnp.ndarray, width: int, height: int, radius: float,
+) -> tuple[MapState, jnp.ndarray]:
+    """Project the landmark set ``src_pts`` [P] into keyframe ``dst_kf``
+    and fuse with its features: a free feature gains the observation; a
+    feature already bound to a different landmark triggers a merge that
+    keeps the better-observed landmark and redirects every observation of
+    the loser (ORBmatcher::Fuse + MapPoint::Replace semantics)."""
+    P, N = m.P, m.N
+    R, t = m.kf_R[dst_kf], m.kf_t[dst_kf]
+    Xc = jnp.einsum("ij,pj->pi", R, m.pt_X) + t
+    uv = cameras.pinhole_project_nodist(cam_params, Xc)
+    dst_row = m.kf_obs[dst_kf]
+    in_dst = jnp.zeros((P,), bool).at[jnp.clip(dst_row, 0, P - 1)].max(
+        (dst_row >= 0) & m.kf_feat_valid[dst_kf]
+    )  # pMP->IsInKeyFrame(pKFi) skip (ORBmatcher::Fuse)
+    # Geometric gates of ORBmatcher::Fuse (ORBmatcher.cc:1148-1240):
+    # depth within the landmark's scale-invariance band and viewing
+    # direction within 60 deg of its mean normal. Without these,
+    # self-similar texture produces wrong merges that poison BA.
+    O_w = -R.T @ t
+    po = m.pt_X - O_w
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * m.pt_normal, axis=-1) / jnp.maximum(dist, 1e-12)
+    banded = m.pt_max_dist > 0
+    geom_ok = (~banded) | (
+        (dist >= 0.8 * m.pt_min_dist)
+        & (dist <= 1.2 * m.pt_max_dist)
+        & (view_cos > 0.5)
+    )
+    ok = (
+        active
+        & src_pts
+        & m.pt_valid
+        & ~in_dst
+        & geom_ok
+        & (Xc[:, 2] > 0.05)
+        & cameras.in_image(uv, width, height, 2.0)
+    )
+    feats = _kf_feats(m, dst_kf)
+    idx, _ = matching.search_by_projection(
+        uv, ok, m.pt_level, m.pt_desc_sign, feats,
+        radius=radius, max_dist=35, ratio=1.0,
+    )
+    matched = idx >= 0
+    j = jnp.clip(idx, 0, N - 1)
+    # One winner per destination feature (scatter-max on point id).
+    col = jnp.full((N,), -1, jnp.int32).at[j].max(
+        jnp.where(matched, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+    is_winner = matched & (col[j] == jnp.arange(P))
+    bound_pt = m.kf_obs[dst_kf][j]  # [P] landmark currently at the feature
+    obs_cnt = jnp.sum(obs_matrix(m).astype(jnp.int32), axis=0)
+
+    # Case 1: free feature -> bind the observation.
+    bind = is_winner & (bound_pt < 0)
+    new_row = m.kf_obs[dst_kf].at[j].max(
+        jnp.where(bind, jnp.arange(P, dtype=jnp.int32), -1)
+    )
+    kf_obs = m.kf_obs.at[dst_kf].set(new_row)
+
+    # Case 2: feature bound to another landmark -> merge (keep the one
+    # with more observations, redirect the loser everywhere).
+    other = jnp.clip(bound_pt, 0, P - 1)
+    # 3D consistency: the two landmarks must coincide in space (within a
+    # fraction of their depth) — a merge rewires observations permanently,
+    # so a wrong one is far more destructive than a missed one. (The
+    # reference relies on its BoW-quality descriptors for this; the
+    # synthetic-texture regime needs the explicit geometric check.)
+    # 2% of depth: SearchInNeighbors partners live in the same local
+    # window where relative drift is tiny; larger separations are either
+    # distinct points or unclosed-loop drift, which the reference welds
+    # only AFTER Sim3 correction (SearchAndFuse), never here.
+    sep = jnp.linalg.norm(m.pt_X - m.pt_X[other], axis=-1)
+    depth = jnp.maximum(Xc[:, 2], 1e-6)
+    coincide = sep < 0.02 * depth
+    merge = (
+        is_winner
+        & (bound_pt >= 0)
+        & (other != jnp.arange(P))
+        & m.pt_valid[other]
+        & coincide
+    )
+    keep_other = obs_cnt[other] >= obs_cnt[jnp.arange(P)]
+    winner = jnp.where(keep_other, other, jnp.arange(P))
+    loser = jnp.where(keep_other, jnp.arange(P), other)
+    # Losers are distinct across merge rows (each was bound to a distinct
+    # destination feature, and injectivity of kf_obs rows is maintained by
+    # the winner-per-feature scatter), so a plain scatter-set is safe.
+    remap = jnp.arange(P, dtype=jnp.int32)
+    remap = remap.at[jnp.clip(loser, 0, P - 1)].set(
+        jnp.where(merge, winner, remap[jnp.clip(loser, 0, P - 1)]).astype(jnp.int32),
+        mode="drop",
+    )
+    v = kf_obs
+    kf_obs = jnp.where(v >= 0, remap[jnp.clip(v, 0, P - 1)], v)
+    lm = jnp.clip(loser, 0, P - 1)
+    dead = jnp.zeros((P,), bool).at[lm].max(merge)
+    add_found = jnp.zeros((P,), jnp.int32).at[jnp.clip(winner, 0, P - 1)].add(
+        jnp.where(merge, m.pt_found[lm], 0)
+    )
+    add_vis = jnp.zeros((P,), jnp.int32).at[jnp.clip(winner, 0, P - 1)].add(
+        jnp.where(merge, m.pt_visible[lm], 0)
+    )
+    n_fused = jnp.sum(merge.astype(jnp.int32)) + jnp.sum(bind.astype(jnp.int32))
+    return (
+        m._replace(
+            kf_obs=kf_obs,
+            pt_valid=m.pt_valid & ~dead,
+            pt_found=m.pt_found + add_found,
+            pt_visible=m.pt_visible + add_vis,
+        ),
+        n_fused,
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height", "n_neighbors"))
+def fuse_in_neighbors(
+    m: MapState,
+    kf_id: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    width: int,
+    height: int,
+    n_neighbors: int = 1,
+    radius: float = 3.0,
+) -> tuple[MapState, jnp.ndarray]:
+    """``LocalMapping::SearchInNeighbors`` (orb_slam3/src/LocalMapping.cc
+    :714): fuse duplicated landmarks between the newest keyframe and its
+    top-covisible neighbors, both directions. The reference walks ~20
+    neighbor KFs with pointer surgery under mutexes; here each direction
+    is one batched projection search + a landmark remap over the whole
+    observation table, and the neighbor choice (covisibility top-k) is
+    computed on device from the observation matrix."""
+    obs = obs_matrix(m)
+    new_row = obs[kf_id]
+    w = obs.astype(jnp.float32) @ new_row.astype(jnp.float32)  # [K]
+    w = w.at[kf_id].set(-1.0)
+    w = jnp.where(m.kf_valid, w, -1.0)
+    top_w, top_ids = jax.lax.top_k(w, n_neighbors)
+    n_fused = jnp.zeros((), jnp.int32)
+    for i in range(n_neighbors):
+        nk = top_ids[i]
+        active = top_w[i] > 0
+        # forward: new KF's landmarks into the neighbor
+        m, f1 = _fuse_into_kf(
+            m, obs_matrix(m)[kf_id], nk, active, cam_params, width, height,
+            radius,
+        )
+        # reverse: neighbor's landmarks into the new KF
+        m, f2 = _fuse_into_kf(
+            m, obs_matrix(m)[nk], kf_id, active, cam_params, width, height,
+            radius,
+        )
+        n_fused = n_fused + f1 + f2
+    return m, n_fused
+
+
+@partial(jax.jit, static_argnames=("n_levels",))
+def cull_keyframes(
+    m: MapState,
+    n_kf: jnp.ndarray,
+    protect_last: int = 2,
+    redundancy: float = 0.9,
+    n_levels: int = 8,
+) -> tuple[MapState, jnp.ndarray]:
+    """``LocalMapping::KeyFrameCulling`` (orb_slam3/src/LocalMapping.cc
+    :902): discard a keyframe when >=90% of its landmarks are observed by
+    at least 3 other keyframes at the same or finer scale. The per-point
+    'observed at level <= l by others' counts come from a cumulative
+    one-hot over octaves reduced across keyframes — no per-observation
+    loops. Culled keyframes drop their observations (SetBadFlag)."""
+    K, N, P = m.K, m.N, m.P
+    bound = obs_matrix(m)  # [K,P]
+    flat_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    flat_pt = jnp.clip(m.kf_obs.reshape(-1), 0, P - 1)
+    has = (
+        (m.kf_obs.reshape(-1) >= 0)
+        & m.kf_feat_valid.reshape(-1)
+        & m.kf_valid[flat_kf]
+    )
+    lvl = jnp.full((K, P), n_levels, jnp.int32).at[flat_kf, flat_pt].min(
+        jnp.where(has, m.kf_level.reshape(-1), n_levels)
+    )
+    # cum[k,p,l] = bound[k,p] and lvl[k,p] <= l
+    ls = jnp.arange(n_levels, dtype=jnp.int32)
+    cum = bound[:, :, None] & (lvl[:, :, None] <= ls[None, None, :])
+    S = jnp.sum(cum.astype(jnp.int32), axis=0)  # [P, L]
+    thr = jnp.clip(lvl + 1, 0, n_levels - 1)  # same-or-finer (+1 octave slack)
+    S_g = jnp.take_along_axis(S[None].repeat(K, 0), thr[:, :, None], axis=2)[..., 0]
+    cnt_others = S_g - bound.astype(jnp.int32)  # exclude self
+    red = bound & (cnt_others >= 3)
+    nb = jnp.sum(bound.astype(jnp.int32), axis=1)
+    nr = jnp.sum(red.astype(jnp.int32), axis=1)
+    ids = jnp.arange(K, dtype=jnp.int32)
+    frac = nr.astype(jnp.float32) / jnp.maximum(nb.astype(jnp.float32), 1.0)
+    qualifies = (
+        m.kf_valid
+        & (ids > 0)
+        & (ids < n_kf - protect_last)
+        & (nb > 0)
+        & (frac >= redundancy)
+    )
+    # Cull at most ONE keyframe per call (the most redundant). The
+    # reference loops with sequential rechecks after each removal
+    # (observations drop as KFs die); culling the whole qualifying set at
+    # once could strip a landmark below 3 observers. One per keyframe
+    # cadence converges to the same fixpoint.
+    best = jnp.argmax(jnp.where(qualifies, frac, -1.0))
+    cull = qualifies & (ids == best)
+    return (
+        m._replace(
+            kf_valid=m.kf_valid & ~cull,
+            kf_obs=jnp.where(cull[:, None], -1, m.kf_obs),
+        ),
+        jnp.sum(cull.astype(jnp.int32)),
     )
 
 

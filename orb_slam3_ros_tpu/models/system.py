@@ -71,8 +71,17 @@ class MonoSlam:
         lost_patience: int = 10,
         track_window: Optional[int] = None,
         pipelined: bool = True,
+        fuse_neighbors: int = 1,
+        kf_culling: bool = True,
         seed: int = 0,
     ):
+        # ``fuse_neighbors``: number of top-covisible keyframes to fuse
+        # duplicate landmarks with at each keyframe insertion (the
+        # reference's SearchInNeighbors, LocalMapping.cc:714); 0 disables.
+        # ``kf_culling``: discard redundant keyframes (KeyFrameCulling,
+        # LocalMapping.cc:902).
+        self.fuse_neighbors = fuse_neighbors
+        self.kf_culling = kf_culling
         # ``pipelined``: one-frame-lag tracking. Frame i's track is
         # dispatched speculatively (pose prediction computed ON DEVICE
         # from frame i-1's still-in-flight result), its outputs are
@@ -598,11 +607,20 @@ class MonoSlam:
             self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1), tri,
             jnp.asarray(self.n_pts), jnp.asarray(self.P_cap - self.n_pts),
         )
+        if self.fuse_neighbors > 0 and kf_id >= 2:
+            self.map, _ = map_updates.fuse_in_neighbors(
+                self.map, jnp.asarray(kf_id), self.cam_params,
+                self.width, self.height, n_neighbors=self.fuse_neighbors,
+            )
         self._run_local_ba(n_iters=self.local_ba_iters)
         self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
         self.map = map_updates.refresh_point_stats(
             self.map, n_levels=self.config.n_levels
         )
+        if self.kf_culling and kf_id >= 4:
+            self.map, _ = map_updates.cull_keyframes(
+                self.map, jnp.asarray(self.n_kf), n_levels=self.config.n_levels
+            )
         if (
             self.pipelined
             and self.loop_closer is None
