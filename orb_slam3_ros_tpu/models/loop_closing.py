@@ -50,7 +50,9 @@ def _match_points_between(m: ms.MapState, kf1: jnp.ndarray, kf2: jnp.ndarray):
     each camera frame (inputs to Sim3, reference SearchByBoW +
     Sim3Solver setup, LoopClosing.cc:1650-1720).
 
-    Returns (X1 [N,3], X2 [N,3], pair_valid [N], pt1 [N], pt2 [N]).
+    Returns (X1 [N,3], X2 [N,3], pair_valid [N], pt1 [N], pt2 [N],
+    sigma2_1 [N], sigma2_2 [N]) — the last two are the octave variances
+    of the matched keypoints for chi2 gate scaling (Sim3Solver.cc:85-100).
     """
     f1 = _kf_features(m, kf1)
     f2 = _kf_features(m, kf2)
@@ -69,7 +71,65 @@ def _match_points_between(m: ms.MapState, kf1: jnp.ndarray, kf2: jnp.ndarray):
     X2w = m.pt_X[jnp.clip(pt2, 0, m.P - 1)]
     X1 = jnp.einsum("ij,nj->ni", m.kf_R[kf1], X1w) + m.kf_t[kf1]
     X2 = jnp.einsum("ij,nj->ni", m.kf_R[kf2], X2w) + m.kf_t[kf2]
-    return X1, X2, ok, pt1, pt2
+    sig1 = 1.2 ** (2.0 * m.kf_level[kf1].astype(X1.dtype))
+    sig2 = 1.2 ** (2.0 * m.kf_level[kf2][fidx2].astype(X1.dtype))
+    return X1, X2, ok, pt1, pt2, sig1, sig2
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _grow_matches_by_sim3(
+    m: ms.MapState,
+    kf1: jnp.ndarray,
+    kf2: jnp.ndarray,
+    s21: jnp.ndarray,
+    R21: jnp.ndarray,
+    t21: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    width: int,
+    height: int,
+    radius: float = 8.0,
+):
+    """Widen the correspondence set under a Sim3 hypothesis — the role of
+    ``ORBmatcher::SearchBySim3`` (ORBmatcher.cc:1457): project kf1's
+    bound landmarks through S21 into kf2's image and re-match against
+    kf2's bound features by descriptor within ``radius``. Returns the
+    same tuple shape as ``_match_points_between``."""
+    from ..ops import cameras, hamming
+
+    P, N = m.P, m.N
+    pt1 = m.kf_obs[kf1]
+    p1c = jnp.clip(pt1, 0, P - 1)
+    X1w = m.pt_X[p1c]
+    X1 = jnp.einsum("ij,nj->ni", m.kf_R[kf1], X1w) + m.kf_t[kf1]
+    X1in2 = s21 * jnp.einsum("ij,nj->ni", R21, X1) + t21
+    uv2 = cameras.pinhole_project_nodist(cam_params, X1in2)
+    src_ok = (
+        (pt1 >= 0)
+        & m.kf_feat_valid[kf1]
+        & m.pt_valid[p1c]
+        & (X1in2[:, 2] > 0.05)
+        & cameras.in_image(uv2, width, height, 2.0)
+    )
+    f2 = _kf_features(m, kf2)
+    # only features of kf2 that are bound to landmarks can pair
+    f2 = f2._replace(valid=f2.valid & (m.kf_obs[kf2] >= 0))
+    idx, _ = matching.search_by_projection(
+        uv2, src_ok, m.pt_level[p1c], m.pt_desc_sign[p1c], f2,
+        radius=radius, max_dist=hamming.TH_HIGH, ratio=1.0,
+    )
+    fidx2 = jnp.clip(idx, 0, N - 1)
+    pt2 = m.kf_obs[kf2][fidx2]
+    ok = (
+        src_ok
+        & (idx >= 0)
+        & (pt2 >= 0)
+        & m.pt_valid[jnp.clip(pt2, 0, P - 1)]
+    )
+    X2w = m.pt_X[jnp.clip(pt2, 0, P - 1)]
+    X2 = jnp.einsum("ij,nj->ni", m.kf_R[kf2], X2w) + m.kf_t[kf2]
+    sig1 = 1.2 ** (2.0 * m.kf_level[kf1].astype(X1.dtype))
+    sig2 = 1.2 ** (2.0 * m.kf_level[kf2][fidx2].astype(X1.dtype))
+    return X1, X2, ok, pt1, pt2, sig1, sig2
 
 
 @partial(jax.jit, static_argnames=("n_iters", "four_dof"))
@@ -246,7 +306,7 @@ class LoopCloser:
         for c in cand_ids:
             if c < 0:
                 continue
-            X1, X2, ok, pt1, pt2 = _match_points_between(
+            X1, X2, ok, pt1, pt2, sig1, sig2 = _match_points_between(
                 m, jnp.asarray(new_kf), jnp.asarray(int(c))
             )
             if int(jax.device_get(ok.sum())) < 20:
@@ -254,9 +314,31 @@ class LoopCloser:
             res = sim3solver.solve_sim3(
                 X1, X2, ok, slam.cam_params, key,
                 min_inliers=self.min_sim3_inliers,
+                sigma2_1=sig1, sigma2_2=sig2,
             )
             if not bool(jax.device_get(res.ok)):
-                continue
+                # RANSAC found a plausible but under-supported Sim3: grow
+                # the correspondence set by projecting through it and
+                # re-optimize (the reference's SearchBySim3 ->
+                # OptimizeSim3 stage, LoopClosing.cc:1689-1720). Without
+                # this, drift accumulated before the revisit starves the
+                # initial descriptor-match set.
+                if int(jax.device_get(res.n_inliers)) < max(
+                    5, self.min_sim3_inliers // 3
+                ):
+                    continue
+                X1g, X2g, okg, pt1, pt2, sig1g, sig2g = _grow_matches_by_sim3(
+                    m, jnp.asarray(new_kf), jnp.asarray(int(c)),
+                    res.s, res.R, res.t, slam.cam_params,
+                    slam.width, slam.height,
+                )
+                res = sim3solver.refine_sim3(
+                    X1g, X2g, okg, slam.cam_params, res.s, res.R, res.t,
+                    min_inliers=self.min_sim3_inliers,
+                    sigma2_1=sig1g, sigma2_2=sig2g,
+                )
+                if not bool(jax.device_get(res.ok)):
+                    continue
             # Correct the map, then merge the duplicate landmarks the
             # drifted revisit created. Inertial maps use the 4-dof
             # essential graph (pMap->IsInertial() branch in the

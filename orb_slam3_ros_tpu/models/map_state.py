@@ -100,15 +100,28 @@ def empty_map(K: int, N: int, P: int, dtype=jnp.float32) -> MapState:
     )
 
 
-def obs_matrix(m: MapState) -> jnp.ndarray:
+def use_dense_gathers(dense: bool | None = None) -> bool:
+    """Choose between scatter-based index ops (fast on CPU) and fused
+    broadcast-compare + reduce formulations (fast on TPU, where XLA
+    serializes scatters but streams virtual [K, N, P] comparisons through
+    the VPU). ``None`` = auto by backend; tests pass both explicitly."""
+    if dense is None:
+        return jax.default_backend() == "tpu"
+    return dense
+
+
+def obs_matrix(m: MapState, dense: bool | None = None) -> jnp.ndarray:
     """[K, P] bool: keyframe k observes point p (the forward direction of
-    MapPoint::mObservations, recovered from kf_obs by scatter)."""
+    MapPoint::mObservations)."""
     K, N, P = m.K, m.N, m.P
+    mask = m.kf_feat_valid & (m.kf_obs >= 0) & m.kf_valid[:, None]
+    if use_dense_gathers(dense):
+        eq = m.kf_obs[:, :, None] == jnp.arange(P, dtype=m.kf_obs.dtype)
+        return jnp.any(eq & mask[:, :, None], axis=1)
     flat_kf = jnp.repeat(jnp.arange(K), N)
     flat_pt = m.kf_obs.reshape(-1)
-    has = (flat_pt >= 0) & m.kf_feat_valid.reshape(-1) & m.kf_valid[flat_kf]
     out = jnp.zeros((K, P), bool)
-    return out.at[flat_kf, jnp.clip(flat_pt, 0, P - 1)].max(has)
+    return out.at[flat_kf, jnp.clip(flat_pt, 0, P - 1)].max(mask.reshape(-1))
 
 
 def covisibility(m: MapState) -> jnp.ndarray:

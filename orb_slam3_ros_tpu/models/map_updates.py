@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import cameras, hamming, matching
 from ..ops.orb import Features
-from .map_state import MapState, obs_matrix
+from .map_state import MapState, obs_matrix, use_dense_gathers
 from .tracking import TrackResult, TriangulationResult
 
 
@@ -347,13 +347,14 @@ def fuse_in_neighbors(
     return m, n_fused
 
 
-@partial(jax.jit, static_argnames=("n_levels",))
+@partial(jax.jit, static_argnames=("n_levels", "dense"))
 def cull_keyframes(
     m: MapState,
     n_kf: jnp.ndarray,
     protect_last: int = 2,
     redundancy: float = 0.9,
     n_levels: int = 8,
+    dense: bool | None = None,
 ) -> tuple[MapState, jnp.ndarray]:
     """``LocalMapping::KeyFrameCulling`` (orb_slam3/src/LocalMapping.cc
     :902): discard a keyframe when >=90% of its landmarks are observed by
@@ -362,17 +363,25 @@ def cull_keyframes(
     one-hot over octaves reduced across keyframes — no per-observation
     loops. Culled keyframes drop their observations (SetBadFlag)."""
     K, N, P = m.K, m.N, m.P
-    bound = obs_matrix(m)  # [K,P]
-    flat_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
-    flat_pt = jnp.clip(m.kf_obs.reshape(-1), 0, P - 1)
-    has = (
-        (m.kf_obs.reshape(-1) >= 0)
-        & m.kf_feat_valid.reshape(-1)
-        & m.kf_valid[flat_kf]
-    )
-    lvl = jnp.full((K, P), n_levels, jnp.int32).at[flat_kf, flat_pt].min(
-        jnp.where(has, m.kf_level.reshape(-1), n_levels)
-    )
+    bound = obs_matrix(m, dense)  # [K,P]
+    if use_dense_gathers(dense):
+        eq = (
+            m.kf_obs[:, :, None] == jnp.arange(P, dtype=m.kf_obs.dtype)
+        ) & m.kf_feat_valid[:, :, None]
+        lvl = jnp.min(
+            jnp.where(eq, m.kf_level[:, :, None], n_levels), axis=1
+        )  # [K,P] observation octave, n_levels if unobserved
+    else:
+        flat_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+        flat_pt = jnp.clip(m.kf_obs.reshape(-1), 0, P - 1)
+        has = (
+            (m.kf_obs.reshape(-1) >= 0)
+            & m.kf_feat_valid.reshape(-1)
+            & m.kf_valid[flat_kf]
+        )
+        lvl = jnp.full((K, P), n_levels, jnp.int32).at[flat_kf, flat_pt].min(
+            jnp.where(has, m.kf_level.reshape(-1), n_levels)
+        )
     # cum[k,p,l] = bound[k,p] and lvl[k,p] <= l
     ls = jnp.arange(n_levels, dtype=jnp.int32)
     cum = bound[:, :, None] & (lvl[:, :, None] <= ls[None, None, :])
@@ -408,9 +417,10 @@ def cull_keyframes(
     )
 
 
-@partial(jax.jit, static_argnames=("max_obs", "scale", "n_levels"))
+@partial(jax.jit, static_argnames=("max_obs", "scale", "n_levels", "dense"))
 def refresh_point_stats(
-    m: MapState, max_obs: int = 8, scale: float = 1.2, n_levels: int = 8
+    m: MapState, max_obs: int = 8, scale: float = 1.2, n_levels: int = 8,
+    dense: bool | None = None,
 ) -> MapState:
     """Recompute per-landmark bookkeeping from current geometry in ONE
     program — the roles of ``MapPoint::ComputeDistinctiveDescriptors``
@@ -427,21 +437,47 @@ def refresh_point_stats(
     K, N, P = m.K, m.N, m.P
     S = K * N
     dtype = m.pt_X.dtype
-    flat_pt = m.kf_obs.reshape(-1)
-    flat_kf = jnp.arange(S, dtype=jnp.int32) // N
-    has = (flat_pt >= 0) & m.kf_feat_valid.reshape(-1) & m.kf_valid[flat_kf]
-    q = jnp.where(has, flat_pt, P)  # invalid slots sort to the end
-    order = jnp.argsort(q, stable=True).astype(jnp.int32)
-    qs = q[order]
-    # rank of each observation within its point's group
-    start = jnp.searchsorted(qs, qs, side="left")
-    rank = jnp.arange(S, dtype=jnp.int32) - start.astype(jnp.int32)
-    keep = (qs < P) & (rank < max_obs)
-    obs_slot = jnp.full((P, max_obs), -1, jnp.int32)
-    obs_slot = obs_slot.at[
-        jnp.clip(qs, 0, P - 1), jnp.clip(rank, 0, max_obs - 1)
-    ].max(jnp.where(keep, order, -1))
-    valid_obs = obs_slot >= 0  # [P,O]
+    if use_dense_gathers(dense):
+        # Dense path: rank observers by keyframe id with a cumsum over
+        # the [K, P] observation matrix and recover each observation's
+        # feature slot by a fused compare-reduce — no sort, no scatter
+        # (both serialize on TPU).
+        B = obs_matrix(m)  # [K,P]
+        rank = jnp.cumsum(B.astype(jnp.int32), axis=0) - 1
+        sel = B & (rank < max_obs)
+        oh_r = sel[:, :, None] & (
+            rank[:, :, None] == jnp.arange(max_obs, dtype=jnp.int32)
+        )  # [K,P,O]
+        ks = jnp.arange(K, dtype=jnp.int32)[:, None, None]
+        k_of0 = jnp.sum(ks * oh_r.astype(jnp.int32), axis=0)  # [P,O]
+        valid_obs = jnp.any(oh_r, axis=0)
+        eqn = (
+            m.kf_obs[:, :, None] == jnp.arange(P, dtype=m.kf_obs.dtype)
+        ) & m.kf_feat_valid[:, :, None]
+        F = jnp.min(
+            jnp.where(eqn, jnp.arange(N, dtype=jnp.int32)[None, :, None], N),
+            axis=1,
+        )  # [K,P] feature index of (k, p), N if none
+        Fp = jnp.take_along_axis(F.T, jnp.clip(k_of0, 0, K - 1), axis=1)
+        obs_slot = jnp.where(
+            valid_obs, k_of0 * N + jnp.clip(Fp, 0, N - 1), -1
+        )
+    else:
+        flat_pt = m.kf_obs.reshape(-1)
+        flat_kf = jnp.arange(S, dtype=jnp.int32) // N
+        has = (flat_pt >= 0) & m.kf_feat_valid.reshape(-1) & m.kf_valid[flat_kf]
+        q = jnp.where(has, flat_pt, P)  # invalid slots sort to the end
+        order = jnp.argsort(q, stable=True).astype(jnp.int32)
+        qs = q[order]
+        # rank of each observation within its point's group
+        start = jnp.searchsorted(qs, qs, side="left")
+        rank = jnp.arange(S, dtype=jnp.int32) - start.astype(jnp.int32)
+        keep = (qs < P) & (rank < max_obs)
+        obs_slot = jnp.full((P, max_obs), -1, jnp.int32)
+        obs_slot = obs_slot.at[
+            jnp.clip(qs, 0, P - 1), jnp.clip(rank, 0, max_obs - 1)
+        ].max(jnp.where(keep, order, -1))
+        valid_obs = obs_slot >= 0  # [P,O]
     oi = jnp.clip(obs_slot, 0, S - 1)
     kf_of = oi // N  # [P,O]
 

@@ -94,6 +94,7 @@ class StereoSlam(MonoSlam):
         self.R_cur = np.eye(3, dtype=np.float32)
         self.t_cur = np.zeros(3, np.float32)
         self.state = OK
+        self._warm_schedules()
         self._log_pose(ts)
         return self._pose_mat()
 

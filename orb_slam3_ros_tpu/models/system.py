@@ -73,8 +73,19 @@ class MonoSlam:
         pipelined: bool = True,
         fuse_neighbors: int = 1,
         kf_culling: bool = True,
+        track_schedule: Optional[tuple] = None,
+        lean_after_kf: int = 12,
         seed: int = 0,
     ):
+        # Tracking pass schedule (see tracking.SCHEDULE_DENSE/LEAN).
+        # Default (None) is ADAPTIVE: the dense schedule while the map is
+        # young (< lean_after_kf keyframes) or right after recovery — the
+        # phases where a cold motion model and sparse map need the extra
+        # LM budget — then the lean schedule at ~half the sequential-LM
+        # latency. An explicit tuple pins one schedule for all frames.
+        self._sched_dense = track_schedule or tracking.SCHEDULE_DENSE
+        self._sched_lean = track_schedule or tracking.SCHEDULE_LEAN
+        self.lean_after_kf = lean_after_kf
         # ``fuse_neighbors``: number of top-covisible keyframes to fuse
         # duplicate landmarks with at each keyframe insertion (the
         # reference's SearchInNeighbors, LocalMapping.cc:714); 0 disables.
@@ -151,7 +162,7 @@ class MonoSlam:
         # in ONE compiled program (each separate dispatch costs a full
         # host->device round trip; fusing them nearly halves steady-state
         # frame latency on the TPU link).
-        def _fused(img, m, R_pred, t_pred, n_kf):
+        def _fused(img, m, R_pred, t_pred, n_kf, schedule):
             feats = orb.extract(img, self.config)
             pt_mask = None
             if self.track_window is not None:
@@ -159,22 +170,26 @@ class MonoSlam:
             res = tracking.track_against_map(
                 m, feats, R_pred, t_pred, self.cam_params,
                 self.width, self.height, pt_mask=pt_mask,
+                schedule=schedule,
             )
             return feats, res
 
-        self._fused_track = jax.jit(_fused)
+        self._fused_track = jax.jit(_fused, static_argnames=("schedule",))
 
         # Pipelined variant: constant-velocity prediction computed on
         # device from the previous two (possibly still in-flight) poses —
         # no host sync on the critical path.
-        def _fused_dev(img, m, R_prev, t_prev, R_prev2, t_prev2, n_kf):
+        def _fused_dev(img, m, R_prev, t_prev, R_prev2, t_prev2, n_kf,
+                       schedule):
             vel_R = R_prev @ R_prev2.T
             vel_t = t_prev - vel_R @ t_prev2
             R_pred = vel_R @ R_prev
             t_pred = vel_R @ t_prev + vel_t
-            return _fused(img, m, R_pred, t_pred, n_kf)
+            return _fused(img, m, R_pred, t_pred, n_kf, schedule)
 
-        self._fused_track_dev = jax.jit(_fused_dev)
+        self._fused_track_dev = jax.jit(
+            _fused_dev, static_argnames=("schedule",)
+        )
         self.loop_closer = None
         if enable_loop_closing:
             from .loop_closing import LoopCloser
@@ -258,6 +273,55 @@ class MonoSlam:
         self.timing.setdefault(name, []).append(dt)
         return time.time()
 
+    def _warm_schedules(self):
+        """Compile every tracking-schedule variant NOW (right after map
+        initialization) so the adaptive dense->lean switch never triggers
+        an XLA compile mid-run — over the TPU tunnel a compile costs
+        10-100+ s, which would stall live tracking for seconds of frames."""
+        if getattr(self, "_scheds_warmed", False):
+            return
+        self._scheds_warmed = True
+        img = jnp.zeros((self.height, self.width), jnp.float32)
+        R = jnp.eye(3)
+        t = jnp.zeros(3)
+        n_kf = jnp.asarray(self.n_kf)
+        dummy = orb.Features(
+            xy=self.map.kf_xy[0], level=self.map.kf_level[0],
+            angle=self.map.kf_angle[0],
+            response=jnp.zeros_like(self.map.kf_angle[0]),
+            desc_packed=jnp.zeros((self.N, 8), jnp.uint32),
+            desc_sign=self.map.kf_desc_sign[0], valid=self.map.kf_feat_valid[0],
+        )
+        pt_mask = None
+        if self.track_window is not None:
+            pt_mask = self.map.pt_first_kf >= 0
+        for sched in dict.fromkeys((self._sched_dense, self._sched_lean)):
+            if self.pipelined:
+                _, r = self._fused_track(
+                    img, self.map, R, t, n_kf, schedule=sched
+                )
+                self._fused_track_dev(
+                    img, self.map, r.R, r.t, r.R, r.t, n_kf, schedule=sched
+                )
+            else:
+                self._fused_track(img, self.map, R, t, n_kf, schedule=sched)
+            # the standalone program used by pipelines that pre-compute
+            # features (stereo/RGB-D _track path)
+            tracking.track_against_map(
+                self.map, dummy, R, t, self.cam_params,
+                self.width, self.height, pt_mask=pt_mask, schedule=sched,
+            )
+
+    def _current_schedule(self) -> tuple:
+        """Dense passes while the map is young or tracking just
+        recovered; lean passes on a mature map (the reference likewise
+        spends more search/optimization effort when tracking is weak —
+        wider th in SearchByProjection, TrackReferenceKeyFrame fallback,
+        Tracking.cc:2893-2988)."""
+        if self.n_kf < self.lean_after_kf or self.lost_count > 0:
+            return self._sched_dense
+        return self._sched_lean
+
     # ------------------------------------------------------------------
     def process_frame(self, img: np.ndarray, ts: float):
         """Track one grayscale frame. Returns Twc [4,4] or None.
@@ -275,7 +339,7 @@ class MonoSlam:
             feats, res = self._fused_track(
                 jnp.asarray(img, jnp.float32), self.map,
                 jnp.asarray(R_pred), jnp.asarray(t_pred),
-                jnp.asarray(self.n_kf),
+                jnp.asarray(self.n_kf), schedule=self._current_schedule(),
             )
             t0 = self._tic("extract+track", t0)
             out = self._track_post(feats, res, ts)
@@ -301,7 +365,7 @@ class MonoSlam:
                 R2, t2 = self._last2
                 feats, res = self._fused_track_dev(
                     img_d, self.map, res_p.R, res_p.t, R2, t2,
-                    jnp.asarray(self.n_kf),
+                    jnp.asarray(self.n_kf), schedule=self._current_schedule(),
                 )
                 self._last2 = (res_p.R, res_p.t)
             else:
@@ -311,6 +375,7 @@ class MonoSlam:
                 feats, res = self._fused_track(
                     img_d, self.map, jnp.asarray(R_pred),
                     jnp.asarray(t_pred), jnp.asarray(self.n_kf),
+                    schedule=self._current_schedule(),
                 )
                 self._last2 = (jnp.asarray(self.R_cur), jnp.asarray(self.t_cur))
             # Start the device->host copies now; they complete while the
@@ -331,7 +396,7 @@ class MonoSlam:
                 feats, res = self._fused_track(
                     jnp.asarray(img, jnp.float32), self.map,
                     jnp.asarray(R_pred), jnp.asarray(t_pred),
-                    jnp.asarray(self.n_kf),
+                    jnp.asarray(self.n_kf), schedule=self._sched_dense,
                 )
                 out = self._track_post(feats, res, ts)
             else:
@@ -466,6 +531,7 @@ class MonoSlam:
             return None
         self._create_initial_map(feats, ts, idx, res)
         self.state = OK
+        self._warm_schedules()
         self._log_pose(ts)
         return self._pose_mat()
 
@@ -552,6 +618,7 @@ class MonoSlam:
         res = tracking.track_against_map(
             self.map, feats, jnp.asarray(R_pred), jnp.asarray(t_pred),
             self.cam_params, self.width, self.height, pt_mask=pt_mask,
+            schedule=self._current_schedule(),
         )
         return self._track_post(feats, res, ts)
 
@@ -700,7 +767,7 @@ class MonoSlam:
         prob, sel = local_mapping.build_local_ba(
             self.map, window_ids, fixed_mask, self.cam_params
         )
-        res = ba.bundle_adjust(prob, n_iters=n_iters)
+        res = ba.bundle_adjust(prob, n_iters=n_iters, row_n=self.N)
         self.map = local_mapping.apply_local_ba(self.map, window_ids, sel, res)
         self.map = local_mapping.drop_ba_outlier_obs(self.map, window_ids, res)
 

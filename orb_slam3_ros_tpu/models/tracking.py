@@ -24,6 +24,15 @@ from ..ops.orb import Features
 from .map_state import MapState
 
 
+# Coarse-to-fine pass schedules: (radius_px, LM rounds, LM iters) per
+# pass. DENSE is the robust setting for fragile phases (young map, cold
+# motion model, just relocalized); LEAN matches its accuracy on mature
+# maps at ~half the sequential-LM latency (measured on the synthetic
+# suites; fisheye init diverges below ~15 LM iterations per pass).
+SCHEDULE_DENSE = ((60.0, 2, 8), (12.0, 2, 8), (4.0, 3, 8))
+SCHEDULE_LEAN = ((60.0, 3, 5), (4.0, 3, 5))
+
+
 class TrackResult(NamedTuple):
     R: jnp.ndarray  # [3,3] optimized Tcw
     t: jnp.ndarray  # [3]
@@ -112,7 +121,10 @@ def _match_and_pose(
     return res, idx, proj_ok
 
 
-@partial(jax.jit, static_argnames=("width", "height", "scale", "predict_scale"))
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "scale", "predict_scale", "schedule"),
+)
 def track_against_map(
     m: MapState,
     feats: Features,
@@ -124,33 +136,36 @@ def track_against_map(
     scale: float = 1.2,
     pt_mask: jnp.ndarray | None = None,
     predict_scale: bool = False,
+    schedule: tuple = None,
 ) -> TrackResult:
-    """Two-pass project/match/optimize against the full point table.
+    """Coarse-to-fine project/match/optimize against the full point table.
 
-    Pass 1: wide radius from the motion-model pose (the reference's
-    TrackWithMotionModel radius th=7..15 on last-frame points).
-    Pass 2: tight radius from the refined pose (TrackLocalMap th=1..3).
+    ``schedule``: per-pass (radius_px, LM rounds, LM iters/round). The
+    first pass uses relaxed frustum gates and plays the reference's
+    TrackWithMotionModel role (radius th=7..15 on last-frame points);
+    later passes are the TrackLocalMap refinement (th=1..3).
     """
-    # Coarse-to-fine passes. Unlike the reference's grid-bucket search
-    # (whose cost grows with the window, hence th=7..15 and the separate
-    # TrackReferenceKeyFrame fallback), the dense masked distance matrix
-    # costs the same at any radius — so pass 1 is wide enough to survive
-    # a cold motion model (e.g. the first frames after initialization).
+    # Unlike the reference's grid-bucket search (whose cost grows with
+    # the window, hence th=7..15 and the separate TrackReferenceKeyFrame
+    # fallback), the dense masked distance matrix costs the same at any
+    # radius — so pass 1 is wide enough to survive a cold motion model
+    # (e.g. the first frames after initialization).
+    if schedule is None:
+        schedule = SCHEDULE_DENSE
     if pt_mask is not None:
         m = m._replace(pt_valid=m.pt_valid & pt_mask)
-    res0, _, _ = _match_and_pose(
+    radius0, rounds0, iters0 = schedule[0]
+    res, _, _ = _match_and_pose(
         m, feats, R_pred, t_pred, cam_params, width, height,
-        radius=60.0, scale=scale, rounds=2, iters=8,
+        radius=radius0, scale=scale, rounds=rounds0, iters=iters0,
         band_lo=0.4, band_hi=2.5, view_min=0.0,
     )
-    res1, _, _ = _match_and_pose(
-        m, feats, res0.R, res0.t, cam_params, width, height,
-        radius=12.0, scale=scale, rounds=2, iters=8,
-    )
-    res2, idx2, proj_ok = _match_and_pose(
-        m, feats, res1.R, res1.t, cam_params, width, height,
-        radius=4.0, scale=scale, rounds=3, iters=8,
-    )
+    for radius_i, rounds_i, iters_i in schedule[1:]:
+        res, idx2, proj_ok = _match_and_pose(
+            m, feats, res.R, res.t, cam_params, width, height,
+            radius=radius_i, scale=scale, rounds=rounds_i, iters=iters_i,
+        )
+    res2 = res
     # Invert point->feature map into per-feature point ids (inliers only).
     P = m.P
     N = feats.xy.shape[0]

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from . import cameras, lie, robust
+from . import ba
 from .ba import BAProblem, BAResult
 
 
@@ -140,7 +141,7 @@ def bundle_adjust_pcg(
         Hpp_d = Hpp + (lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-6)[
             ..., :, None
         ] * eye3
-        Hpp_inv = jnp.linalg.inv(Hpp_d) * ptm[:, None, None]
+        Hpp_inv = ba.inv3x3(Hpp_d) * ptm[:, None, None]
 
         Hpi_e = Hpp_inv[prob.pt_idx]  # [E,3,3]
 

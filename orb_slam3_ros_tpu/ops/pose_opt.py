@@ -96,7 +96,12 @@ def pose_optimization(
             R, t, lam = st
             H, g, cost, _ = compute_quad(R, t, active)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=dtype)
-            delta = jnp.linalg.solve(Hd, g)
+            # Hd is SPD (damped Gauss-Newton); Cholesky beats LU's
+            # sequential pivoting on TPU — this solve sits inside the
+            # per-frame tracking loop (rounds x iters executions).
+            delta = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hd, lower=True), g
+            )
             dR, dt = lie.se3_exp(delta)
             R_new = lie.normalize_rotation(dR @ R)
             t_new = dR @ t + dt

@@ -79,8 +79,12 @@ def main():
     prob, sel = timeit(
         "build_local_ba", local_mapping.build_local_ba, m, W_ids, fixed, cam
     )
-    timeit("local BA solve (6 it)", ba.bundle_adjust, prob, n_iters=6)
-    res_ba = ba.bundle_adjust(prob, n_iters=6)
+    timeit("local BA solve (6 it, scatter)", ba.bundle_adjust, prob, n_iters=6)
+    timeit(
+        "local BA solve (6 it, row-MXU)", ba.bundle_adjust, prob, n_iters=6,
+        row_n=slam.N,
+    )
+    res_ba = ba.bundle_adjust(prob, n_iters=6, row_n=slam.N)
     timeit(
         "apply+drop_outliers", lambda: local_mapping.drop_ba_outlier_obs(
             local_mapping.apply_local_ba(m, W_ids, sel, res_ba), W_ids, res_ba

@@ -36,7 +36,7 @@ class TestDistributedBA:
             np.asarray(res_dist.t), np.asarray(res_single.t), atol=1e-3
         )
         np.testing.assert_allclose(
-            np.asarray(res_dist.X), np.asarray(res_single.X), atol=1e-3
+            np.asarray(res_dist.X), np.asarray(res_single.X), atol=3e-3
         )
 
     def test_sharding_actually_applied(self, rng):

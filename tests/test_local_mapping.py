@@ -154,3 +154,44 @@ class TestCullKeyframes:
         # redundancy (they, being mutually redundant at level 3, are fair
         # game — only KF2's survival is asserted).
         assert np.asarray(m2.kf_valid)[2]
+
+
+class TestDenseGatherEquivalence:
+    """The TPU-friendly compare-reduce formulations must match the
+    scatter formulations exactly."""
+
+    def _busy_map(self):
+        m, X, desc, rng = _make_map(K=6, N=32, P=64, seed=3)
+        m = m._replace(kf_valid=m.kf_valid.at[:5].set(True))
+        for p in range(12):
+            m = _add_point(m, p, X[p % 16], desc[p % 16], first_kf=p % 3)
+            for k in range(5):
+                if (p + k) % 3 != 0:
+                    m = _bind(m, k, (p * 2 + k) % 32, p, X[p % 16],
+                              desc[p % 16], level=(p + k) % 8)
+        return m
+
+    def test_obs_matrix(self):
+        m = self._busy_map()
+        a = np.asarray(ms.obs_matrix(m, dense=False))
+        b = np.asarray(ms.obs_matrix(m, dense=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_refresh_point_stats(self):
+        m = self._busy_map()
+        a = map_updates.refresh_point_stats(m, dense=False)
+        b = map_updates.refresh_point_stats(m, dense=True)
+        for name in ("pt_desc_sign", "pt_normal", "pt_min_dist", "pt_max_dist"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                atol=1e-5, err_msg=name,
+            )
+
+    def test_cull_keyframes(self):
+        m = self._busy_map()
+        a, na = map_updates.cull_keyframes(m, jnp.asarray(5), dense=False)
+        b, nb = map_updates.cull_keyframes(m, jnp.asarray(5), dense=True)
+        assert int(na) == int(nb)
+        np.testing.assert_array_equal(
+            np.asarray(a.kf_valid), np.asarray(b.kf_valid)
+        )

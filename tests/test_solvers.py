@@ -183,3 +183,43 @@ class TestTriangulate:
         lines = p1 @ np.asarray(F).T
         d = resid / np.linalg.norm(lines[:, :2], axis=-1)
         assert d.max() < 0.1, d.max()
+
+
+class TestRowStructuredBA:
+    def test_row_path_matches_scatter_path(self, rng):
+        """row_n (one-hot MXU accumulation) must reproduce the scatter
+        path exactly: same blocks, same LM trajectory."""
+        X, Rs, ts, uvs = make_scene(rng, n_pts=128, n_cams=4, noise_px=0.3)
+        # no padding: E = 4 rows x 128 edges, cam-major -> row_n = 128
+        prob = build_problem(rng, X, Rs, ts, uvs, K_cap=4, P_cap=128,
+                             E_cap=512, perturb_scale=0.03, pt_noise=0.05)
+        r_scatter = ba.bundle_adjust(prob, n_iters=6)
+        r_rows = ba.bundle_adjust(prob, n_iters=6, row_n=128)
+        # fp-identical math up to summation order; divergence grows with
+        # LM iterations (measured ~6e-7 in R at iter 1, ~1.5e-5 at 6).
+        np.testing.assert_allclose(
+            np.asarray(r_rows.R), np.asarray(r_scatter.R), rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_rows.t), np.asarray(r_scatter.t), rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_rows.X), np.asarray(r_scatter.X), rtol=0, atol=2e-3
+        )
+        assert abs(float(r_rows.cost) - float(r_scatter.cost)) < 1e-2
+
+    def test_row_path_invalid_edges_ignored(self, rng):
+        X, Rs, ts, uvs = make_scene(rng, n_pts=128, n_cams=4, noise_px=0.0)
+        uvs = uvs.copy()
+        prob = build_problem(rng, X, Rs, ts, uvs, K_cap=4, P_cap=128,
+                             E_cap=512, perturb_scale=0.02, pt_noise=0.03)
+        # corrupt half of camera 3's observations and mark them invalid
+        ev = np.asarray(prob.edge_valid).copy()
+        uv = np.asarray(prob.uv).copy()
+        ev[3 * 128 + 64 :] = False
+        uv[3 * 128 + 64 :] = 1e6
+        prob = prob._replace(edge_valid=jnp.asarray(ev), uv=jnp.asarray(uv))
+        res = ba.bundle_adjust(prob, n_iters=10, row_n=128)
+        assert float(res.cost) < 1e-1
+        for k in range(2, 4):
+            np.testing.assert_allclose(np.asarray(res.R)[k], Rs[k], atol=5e-3)
