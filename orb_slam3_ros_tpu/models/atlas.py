@@ -35,6 +35,9 @@ class ArchivedMap:
     n_kf: int
     n_pts: int
     sigs: jnp.ndarray  # [K, A] retrieval signatures
+    # Inertial side-state (None for visual maps): per-KF IMU blocks,
+    # initialization flags, chain-break set (see InertialSlam).
+    imu: Optional[dict] = None
 
 
 @dataclass
@@ -52,17 +55,40 @@ class Atlas:
         from . import map_state
 
         keep = slam.n_kf >= self.min_kf_keep
+        inertial = hasattr(slam, "kf_imu_acc")
         if keep:
             sigs = retrieval.kf_signatures(
                 slam.map.kf_desc_sign, slam.map.kf_feat_valid
             )
+            imu = None
+            if inertial:
+                imu = dict(
+                    acc=slam.kf_imu_acc.copy(), gyro=slam.kf_imu_gyro.copy(),
+                    dts=slam.kf_imu_dts.copy(),
+                    initialized=slam.imu_initialized, stage=slam.imu_stage,
+                    chain_breaks=set(slam.chain_breaks),
+                )
             self.maps.append(
                 ArchivedMap(
                     m=jax.tree.map(jnp.asarray, slam.map),
                     n_kf=slam.n_kf, n_pts=slam.n_pts,
-                    sigs=sigs,
+                    sigs=sigs, imu=imu,
                 )
             )
+        if inertial:
+            # A fresh map starts un-initialized on a fresh IMU chain; the
+            # sensor history (_imu_history) carries over — the reference's
+            # CreateMapInAtlas likewise keeps grabbing IMU
+            # (Tracking.cc:2701).
+            slam.kf_imu_acc[:] = 0
+            slam.kf_imu_gyro[:] = 0
+            slam.kf_imu_dts[:] = 0
+            slam.imu_initialized = False
+            slam.imu_stage = 0
+            slam.chain_breaks = set()
+            slam.v_cur = np.zeros(3, np.float32)
+            slam.bg_cur = np.zeros(3, np.float32)
+            slam.ba_cur = np.zeros(3, np.float32)
         slam.map = map_state.empty_map(slam.K_cap, slam.N, slam.P_cap)
         slam.n_kf = 0
         slam.n_pts = 0
@@ -105,6 +131,25 @@ class Atlas:
                     slam.map = am.m
                     slam.n_kf = am.n_kf
                     slam.n_pts = am.n_pts
+                    if am.imu is not None:
+                        slam.kf_imu_acc = am.imu["acc"].copy()
+                        slam.kf_imu_gyro = am.imu["gyro"].copy()
+                        slam.kf_imu_dts = am.imu["dts"].copy()
+                        slam.imu_initialized = am.imu["initialized"]
+                        slam.imu_stage = am.imu["stage"]
+                        slam.chain_breaks = set(am.imu["chain_breaks"])
+                        # The next keyframe starts a fresh IMU chain (the
+                        # archived map was recorded earlier; no
+                        # preintegration spans the time gap).
+                        slam.chain_breaks.add(am.n_kf)
+                        if am.imu["initialized"]:
+                            bg, ba = jax.device_get(
+                                (am.m.kf_bg[am.n_kf - 1],
+                                 am.m.kf_ba[am.n_kf - 1])
+                            )
+                            slam.bg_cur = np.asarray(bg)
+                            slam.ba_cur = np.asarray(ba)
+                            slam.v_cur = np.zeros(3, np.float32)
                     R_new, t_new = jax.device_get((res.R, res.t))
                     slam.R_cur = np.asarray(R_new)
                     slam.t_cur = np.asarray(t_new)
@@ -122,9 +167,25 @@ class Atlas:
         LoopClosing.cc:2546): find a Sim3 between a current keyframe and
         an archived keyframe via matched landmarks, transform the current
         map into the archived frame, and bulk-copy the archived content
-        into the active arrays (capacities permitting)."""
+        into the active arrays (capacities permitting).
+
+        Inertial maps (MergeLocal2 role, LoopClosing.cc:3114): when both
+        maps are IMU-initialized their scales are metric, so the weld is
+        rigid (fix_scale); velocities rotate with the world transform,
+        the per-KF IMU blocks are re-indexed alongside the keyframes, the
+        seam is recorded as a chain break (no preintegration spans two
+        separately-recorded chains), and a visual-inertial welding BA
+        runs over the seam window (MergeInertialBA role,
+        Optimizer.cc:4093)."""
         am = self.maps[archived_idx]
         cur = slam.map
+        inertial = hasattr(slam, "kf_imu_acc")
+        both_metric = bool(
+            inertial
+            and am.imu is not None
+            and am.imu["initialized"]
+            and slam.imu_initialized
+        )
         # Find the best cross-map KF pair by signatures.
         cur_sigs = retrieval.kf_signatures(cur.kf_desc_sign, cur.kf_feat_valid)
         S = np.array(jax.device_get(cur_sigs @ am.sigs.T))  # [Kc, Ka] (writable copy)
@@ -138,7 +199,8 @@ class Atlas:
         if int(jax.device_get(ok.sum())) < 15:
             return False
         res = sim3solver.solve_sim3(
-            X1, X2, ok, slam.cam_params, key, min_inliers=15
+            X1, X2, ok, slam.cam_params, key, min_inliers=15,
+            fix_scale=both_metric,
         )
         if not bool(jax.device_get(res.ok)):
             return False
@@ -160,7 +222,31 @@ class Atlas:
                                            slam.n_kf, slam.n_pts)
         if merged is None:
             return False
+        base_kf = am.n_kf
         slam.map = merged
+        if inertial:
+            # Re-index the per-KF IMU blocks: archived blocks keep ids
+            # [0, base_kf), current blocks shift to [base_kf, ...).
+            acc = np.zeros_like(slam.kf_imu_acc)
+            gyro = np.zeros_like(slam.kf_imu_gyro)
+            dts = np.zeros_like(slam.kf_imu_dts)
+            if am.imu is not None:
+                acc[:base_kf] = am.imu["acc"][:base_kf]
+                gyro[:base_kf] = am.imu["gyro"][:base_kf]
+                dts[:base_kf] = am.imu["dts"][:base_kf]
+            acc[base_kf : base_kf + slam.n_kf] = slam.kf_imu_acc[: slam.n_kf]
+            gyro[base_kf : base_kf + slam.n_kf] = slam.kf_imu_gyro[: slam.n_kf]
+            dts[base_kf : base_kf + slam.n_kf] = slam.kf_imu_dts[: slam.n_kf]
+            slam.kf_imu_acc, slam.kf_imu_gyro, slam.kf_imu_dts = acc, gyro, dts
+            old_breaks = am.imu["chain_breaks"] if am.imu else set()
+            slam.chain_breaks = (
+                set(old_breaks)
+                | {base_kf + b for b in slam.chain_breaks}
+                | {base_kf}  # the weld seam itself
+            )
+            slam.imu_initialized = both_metric
+            if not both_metric:
+                slam.imu_stage = 0
         slam.n_kf = n_kf
         slam.n_pts = n_pts
         # Current pose moves with the map transform.
@@ -175,6 +261,11 @@ class Atlas:
         slam.vel_t = np.zeros(3, np.float32)
         slam._ref_cache = None
         del self.maps[archived_idx]
+        if both_metric:
+            # Welding VI-BA over the seam window (MergeInertialBA role):
+            # the chain-break mask drops the nonexistent cross-chain
+            # preintegration edge; reprojection edges tie the two sides.
+            slam._run_vi_ba(window=slam.W, n_iters=6)
         return True
 
 
@@ -207,7 +298,8 @@ def _cross_map_pairs(m1: ms.MapState, m2: ms.MapState, kf1: int, kf2: int):
 @jax.jit
 def _transform_map(m: ms.MapState, Rw, tw, sw):
     """Apply a world-to-world Sim3 to every pose/point (the welding
-    transform applied to the younger map)."""
+    transform applied to the younger map). Body velocities rotate and
+    scale with the world frame (v' = s Rw v)."""
     X = sw * m.pt_X @ Rw.T + tw
     # Tcw' : X_cam = R_cw' X' + t_cw' must equal old cam coords / scale-adj.
     Rwi, twi, swi = (jnp.swapaxes(Rw, -1, -2), -jnp.einsum("ji,j->i", Rw, tw) / sw, 1.0 / sw)
@@ -219,7 +311,8 @@ def _transform_map(m: ms.MapState, Rw, tw, sw):
     # = R_cw Rwi/sw X' - R_cw Rwi tw / sw + t_cw. Up to global scale sw
     # (projection-invariant), multiply by sw:
     new_t = -jnp.einsum("kij,jl,l->ki", m.kf_R, Rwi, tw) + sw * m.kf_t
-    return m._replace(pt_X=X, kf_R=new_R, kf_t=new_t)
+    new_v = sw * m.kf_v @ Rw.T
+    return m._replace(pt_X=X, kf_R=new_R, kf_t=new_t, kf_v=new_v)
 
 
 def _concat_maps(base: ms.MapState, base_kf: int, base_pts: int,

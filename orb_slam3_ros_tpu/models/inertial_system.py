@@ -59,6 +59,13 @@ class InertialSlam(MonoSlam):
         self.v_cur = np.zeros(3, np.float32)
         self.bg_cur = np.zeros(3, np.float32)
         self.ba_cur = np.zeros(3, np.float32)
+        # Keyframe ids whose temporal IMU chain to the previous keyframe
+        # is BROKEN (first keyframe after a map merge/weld: the two maps
+        # were recorded on separate chains, so no preintegration spans
+        # the seam — the reference's mPrevKF stays within the original
+        # map after MergeLocal2, LoopClosing.cc:3114). VI-BA windows mask
+        # the inertial edge into these keyframes.
+        self.chain_breaks: set = set()
         self._jit_preint = jax.jit(
             lambda a, g, d, b: imu_ops.preintegrate(a, g, d, b, self.calib)
         )
@@ -196,11 +203,14 @@ class InertialSlam(MonoSlam):
             jnp.asarray(self.kf_imu_gyro[1:n]),
             jnp.asarray(self.kf_imu_dts[1:n]),
         )
+        edge_ok = np.asarray(
+            [(i + 1) not in self.chain_breaks for i in range(n - 1)]
+        )
         res = viba.inertial_init(
             R_wb, p_wb, jnp.ones(n, bool),
             jnp.arange(n - 1, dtype=jnp.int32),
             jnp.arange(1, n, dtype=jnp.int32),
-            pre, jnp.ones(n - 1, bool),
+            pre, jnp.asarray(edge_ok),
             n_iters=40, fix_scale=self.imu_fix_scale,
         )
         s, Rwg, bg, ba, v = jax.device_get(
@@ -261,7 +271,7 @@ class InertialSlam(MonoSlam):
         fixed = [i == 0 for i in ids]
         W_eff = max(self.W, n)
         pad = W_eff - n
-        edge_ok = [True] * (n - 1)
+        edge_ok = [ids[i + 1] not in self.chain_breaks for i in range(n - 1)]
         if pad > 0:
             ids = ids + [self.K_cap - 1] * pad
             fixed = fixed + [True] * pad
@@ -345,7 +355,9 @@ class InertialSlam(MonoSlam):
             return
         W_eff = max(self.W, len(ids))
         pad = W_eff - len(ids)
-        edge_ok = [True] * (len(ids) - 1)
+        edge_ok = [
+            ids[i + 1] not in self.chain_breaks for i in range(len(ids) - 1)
+        ]
         if pad > 0:
             ids = ids + [self.K_cap - 1] * pad
             fixed = fixed + [True] * pad

@@ -114,3 +114,60 @@ class TestMergeMachinery:
         b = map_state.empty_map(K=4, N=8, P=16)
         merged, n_kf, n_pts = atlas_mod._concat_maps(a, 3, 10, b, 3, 10)
         assert merged is None
+
+
+class TestInertialMerge:
+    def test_merge_inertial_maps(self):
+        """MergeLocal2 role: two IMU-initialized maps weld rigidly
+        (fix_scale), velocities/IMU blocks re-index, the seam is a chain
+        break, and the welding VI-BA leaves a consistent metric map."""
+        import jax
+        from orb_slam3_ros_tpu.models.inertial_system import InertialSlam
+        from vi_sim import make_calib
+
+        seq, imu = synth.make_vi_sequence(
+            n_frames=80, height=240, width=376, frame_dt=0.1,
+            imu_per_frame=10, seed=0,
+            bg=np.array([0.01, -0.015, 0.02]), noise_g=1e-4, noise_a=1e-3,
+        )
+        slam = InertialSlam(
+            height=240, width=376, cam_params=seq.cam_params,
+            n_features=1200, max_keyframes=48, max_points=8192, kf_every=3,
+            calib=make_calib(freq=100.0), init_after_kf=6, enable_atlas=True,
+        )
+        split = 40
+        for i in range(split):
+            slam.process_frame(
+                seq.images[i], float(seq.timestamps[i]),
+                acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
+            )
+        assert slam.imu_initialized, "map 1 never IMU-initialized"
+        kf1 = slam.n_kf
+        slam._freeze_rel_traj()
+        assert slam.atlas.archive_current(slam)
+        am = slam.atlas.maps[0]
+        assert am.imu is not None and am.imu["initialized"]
+
+        for i in range(split, 80):
+            slam.process_frame(
+                seq.images[i], float(seq.timestamps[i]),
+                acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
+            )
+        assert slam.state == OK
+        # The auto-merge hook in _insert_keyframe may have welded already;
+        # otherwise weld explicitly.
+        if slam.atlas.maps:
+            merged = slam.atlas.merge_current_into(
+                slam, 0, jax.random.PRNGKey(7)
+            )
+            assert merged, "inertial merge failed"
+        assert not slam.atlas.maps
+        assert slam.n_kf > kf1
+        # the weld seam is recorded as an IMU chain break
+        assert any(b >= kf1 for b in slam.chain_breaks)
+        # merged map is finite and still metric-capable
+        kv = np.asarray(jax.device_get(slam.map.kf_valid))
+        R = np.asarray(jax.device_get(slam.map.kf_R))
+        assert np.isfinite(R[kv]).all()
+        v = np.asarray(jax.device_get(slam.map.kf_v))
+        assert np.isfinite(v[kv]).all()
