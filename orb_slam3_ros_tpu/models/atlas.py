@@ -46,6 +46,9 @@ class Atlas:
 
     min_kf_keep: int = 8  # maps smaller than this are discarded on loss
     maps: list = field(default_factory=list)
+    # Optional trained vocabulary (shared with the loop closer); set it
+    # BEFORE mapping starts — archived signatures are not recomputed.
+    vocab: Optional[jnp.ndarray] = None
 
     def archive_current(self, slam) -> bool:
         """Archive the active map if it is worth keeping (>= min_kf_keep
@@ -58,7 +61,7 @@ class Atlas:
         inertial = hasattr(slam, "kf_imu_acc")
         if keep:
             sigs = retrieval.kf_signatures(
-                slam.map.kf_desc_sign, slam.map.kf_feat_valid
+                slam.map.kf_desc_sign, slam.map.kf_feat_valid, self.vocab
             )
             imu = None
             if inertial:
@@ -114,7 +117,7 @@ class Atlas:
         from .system import OK
 
         for k, am in enumerate(self.maps):
-            q = retrieval.signature(feats.desc_sign, feats.valid)
+            q = retrieval.signature(feats.desc_sign, feats.valid, self.vocab)
             cand_ids, scores = retrieval.detect_candidates(
                 q, am.sigs, am.m.kf_valid, jnp.zeros((am.m.K,), bool),
                 min_common_score=0.3,
@@ -187,7 +190,7 @@ class Atlas:
             and slam.imu_initialized
         )
         # Find the best cross-map KF pair by signatures.
-        cur_sigs = retrieval.kf_signatures(cur.kf_desc_sign, cur.kf_feat_valid)
+        cur_sigs = retrieval.kf_signatures(cur.kf_desc_sign, cur.kf_feat_valid, self.vocab)
         S = np.array(jax.device_get(cur_sigs @ am.sigs.T))  # [Kc, Ka] (writable copy)
         S[slam.n_kf:, :] = -1
         S[:, am.n_kf:] = -1

@@ -262,6 +262,9 @@ class LoopCloser:
         self.use_covisibility = use_covisibility
         self.last_closed_kf = -100
         self.closures = []  # (new_kf, cand_kf, n_inliers)
+        # Optional trained vocabulary ([A,256] +-1; None = seeded
+        # anchors). Set via MonoSlam.set_vocabulary.
+        self.vocab = None
 
     def _dump_problem(self, slam, m, new_kf, cand_kf, res, tag):
         """Write the complete pre/post optimization problem (the fork's
@@ -289,7 +292,7 @@ class LoopCloser:
         m = slam.map
         if new_kf - self.last_closed_kf < self.min_gap:
             return False
-        sigs = retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid)
+        sigs = retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid, self.vocab)
         q = sigs[new_kf]
         # Exclude temporally adjacent + covisible keyframes.
         ids = np.arange(m.K)

@@ -149,6 +149,11 @@ class MonoSlam:
         self.timing = {}
 
         self._extract = jax.jit(lambda im: orb.extract(im, self.config))
+        # Optional trained retrieval vocabulary ([A,256] +-1; None =
+        # seeded anchors) — the role of the reference's offline-trained
+        # ORBvoc (System.cc:114). Train with train_vocabulary_from_map or
+        # retrieval.train_vocabulary, install with set_vocabulary.
+        self.vocab = None
         self.atlas = None
         self.lost_count = 0
         self.lost_patience = lost_patience
@@ -272,6 +277,42 @@ class MonoSlam:
         dt = time.time() - t0
         self.timing.setdefault(name, []).append(dt)
         return time.time()
+
+    def set_vocabulary(self, vocab) -> None:
+        """Install a retrieval vocabulary ([A,256] +-1 int8; e.g. from
+        ``retrieval.train_vocabulary``). Call BEFORE mapping starts —
+        signatures already stored in the Atlas are not recomputed."""
+        v = jnp.asarray(vocab, jnp.int8)
+        self.vocab = v
+        if self.loop_closer is not None:
+            self.loop_closer.vocab = v
+        if self.atlas is not None:
+            self.atlas.vocab = v
+
+    def train_vocabulary_from_map(self, n_words: int | None = None,
+                                  iters: int = 12):
+        """Train a vocabulary on the descriptors observed so far and
+        install it (the online counterpart of DBoW2's offline training;
+        useful when a session revisits the same environment). Default
+        vocabulary size scales with the sample count — more words than
+        ~1/16th of the samples stops generalizing (each descriptor gets
+        a private word and co-located frames share none)."""
+        from ..ops import retrieval
+
+        desc = np.asarray(
+            jax.device_get(self.map.kf_desc_sign[: self.n_kf])
+        ).reshape(-1, 256)
+        valid = np.asarray(
+            jax.device_get(self.map.kf_feat_valid[: self.n_kf])
+        ).reshape(-1)
+        n = int(valid.sum())
+        if n_words is None:
+            n_words = int(np.clip(n // 16, 32, retrieval.N_WORDS))
+        vocab = retrieval.train_vocabulary(
+            desc[valid], n_words=n_words, iters=iters
+        )
+        self.set_vocabulary(vocab)
+        return vocab
 
     def _warm_schedules(self):
         """Compile every tracking-schedule variant NOW (right after map
@@ -456,8 +497,10 @@ class MonoSlam:
         self._apply_kf_async(force=True)
         if self.n_kf < 2:
             return None
-        sigs = retrieval.kf_signatures(self.map.kf_desc_sign, self.map.kf_feat_valid)
-        q = retrieval.signature(feats.desc_sign, feats.valid)
+        sigs = retrieval.kf_signatures(
+            self.map.kf_desc_sign, self.map.kf_feat_valid, self.vocab
+        )
+        q = retrieval.signature(feats.desc_sign, feats.valid, self.vocab)
         cand_ids, _ = retrieval.detect_candidates(
             q, sigs, self.map.kf_valid, jnp.zeros((self.K_cap,), bool),
             min_common_score=0.0,

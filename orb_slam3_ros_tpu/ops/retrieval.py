@@ -16,9 +16,15 @@ for TPU anyway. TPU-native replacement:
   words; similarity of two signatures is their dot product, so scoring
   one query against every keyframe is one [K, A] @ [A] matvec (the MXU
   replaces the inverted file).
+- optionally a **trained vocabulary**: binary k-medians on observed
+  descriptors (``train_vocabulary``; the bitwise-median cluster update
+  is exactly DBoW2's binary cluster-center rule,
+  Thirdparty/DBoW2/DBoW2/FORB.cpp meanValue). The vocabulary is a plain
+  [A, 256] +-1 array passed as a TRACED argument, so swapping vocabulary
+  values never recompiles.
 
 Self-consistency is all that matters (as with the vocabulary the
-reference trains offline); anchors are seeded constants.
+reference trains offline); the default anchors are seeded constants.
 """
 
 from __future__ import annotations
@@ -40,22 +46,68 @@ def _make_anchors(seed: int = 7, n_words: int = N_WORDS) -> np.ndarray:
 ANCHORS = _make_anchors()
 
 
-def descriptor_words(desc_sign: jnp.ndarray) -> jnp.ndarray:
-    """[N, 256] int8 -> [N] int32 visual-word ids (nearest anchor =
+def train_vocabulary(
+    desc_sign: np.ndarray,
+    n_words: int = N_WORDS,
+    iters: int = 12,
+    seed: int = 11,
+) -> np.ndarray:
+    """Binary k-medians over observed +-1 descriptors -> [n_words, 256]
+    int8 vocabulary (the TPU-flat counterpart of DBoW2's k-means-trained
+    vocabulary tree; the bitwise-median center update mirrors
+    FORB::meanValue). Assignment is one [M, 256] x [256, A] matmul per
+    iteration; empty clusters re-seed to the worst-represented samples."""
+    rng = np.random.default_rng(seed)
+    D = np.asarray(desc_sign, np.float32)
+    M = D.shape[0]
+    if M < n_words:
+        pad = _make_anchors(seed, n_words - M).astype(np.float32)
+        D_init = np.concatenate([D, pad])
+        C = D_init[:n_words].copy()
+    else:
+        C = D[rng.choice(M, n_words, replace=False)].copy()
+    for _ in range(iters):
+        corr = D @ C.T  # [M, A]
+        assign = np.argmax(corr, axis=1)
+        best = corr[np.arange(M), assign]
+        sums = np.zeros((n_words, 256), np.float32)
+        np.add.at(sums, assign, D)
+        counts = np.bincount(assign, minlength=n_words)
+        new_C = np.where(sums >= 0, 1.0, -1.0)  # bitwise median of +-1
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(best)[: int(empty.sum())]
+            new_C[empty] = D[worst]
+        C = new_C
+    return C.astype(np.int8)
+
+
+def _words_of(vocab: jnp.ndarray | None) -> jnp.ndarray:
+    return jnp.asarray(ANCHORS) if vocab is None else vocab
+
+
+def descriptor_words(
+    desc_sign: jnp.ndarray, vocab: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """[N, 256] int8 -> [N] int32 visual-word ids (nearest word =
     max correlation = min Hamming)."""
     corr = jax.lax.dot_general(
         desc_sign,
-        jnp.asarray(ANCHORS),
+        _words_of(vocab),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [N, A]
     return jnp.argmax(corr, axis=-1).astype(jnp.int32)
 
 
-def signature(desc_sign: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def signature(
+    desc_sign: jnp.ndarray, valid: jnp.ndarray,
+    vocab: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """[N,256], [N] -> [A] L2-normalized tf histogram."""
-    words = descriptor_words(desc_sign)
-    hist = jnp.zeros((N_WORDS,), jnp.float32).at[words].add(
+    words = descriptor_words(desc_sign, vocab)
+    A = _words_of(vocab).shape[0]
+    hist = jnp.zeros((A,), jnp.float32).at[words].add(
         valid.astype(jnp.float32)
     )
     return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
@@ -67,9 +119,14 @@ def score_against(query_sig: jnp.ndarray, kf_sigs: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def kf_signatures(kf_desc_sign: jnp.ndarray, kf_feat_valid: jnp.ndarray) -> jnp.ndarray:
+def kf_signatures(
+    kf_desc_sign: jnp.ndarray, kf_feat_valid: jnp.ndarray,
+    vocab: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """[K, N, 256], [K, N] -> [K, A] signatures for the whole keyframe DB."""
-    return jax.vmap(signature)(kf_desc_sign, kf_feat_valid)
+    return jax.vmap(lambda d, v: signature(d, v, vocab))(
+        kf_desc_sign, kf_feat_valid
+    )
 
 
 @partial(jax.jit, static_argnames=("n_best",))

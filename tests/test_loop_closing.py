@@ -121,3 +121,66 @@ class TestLoopClosingE2E:
             f"closure did not improve ATE ({rmse:.3f} vs open {rmse_open:.3f})"
         )
         assert rmse < 0.25, f"ATE {rmse:.3f} after closure"
+
+
+class TestTrainedVocabulary:
+    def test_kmedians_improves_place_separation(self, rng):
+        """A vocabulary trained on the observed descriptor distribution
+        must separate 'places' at least as well as the random anchors:
+        same-place signature similarity minus cross-place similarity
+        (the retrieval margin) should not degrade, and word usage should
+        cover more of the vocabulary."""
+        # 16 places x 40 descriptors, each place a cluster of bit-flips
+        # around a prototype (repetitive-texture regime: prototypes are
+        # correlated by sharing half their bits with a common base).
+        base = rng.choice([-1, 1], size=(256,)).astype(np.int8)
+        protos = []
+        for _ in range(16):
+            p = base.copy()
+            flip = rng.choice(256, 80, replace=False)
+            p[flip] = -p[flip]
+            protos.append(p)
+        descs, place = [], []
+        for pi, p in enumerate(protos):
+            for _ in range(40):
+                d = p.copy()
+                flip = rng.choice(256, 20, replace=False)
+                d[flip] = -d[flip]
+                descs.append(d)
+                place.append(pi)
+        D = np.stack(descs)
+        place = np.asarray(place)
+
+        # words << samples: with n_words ~ n_samples every descriptor
+        # becomes its own word and same-place frames stop sharing any
+        # (the DBoW2 regime is millions of samples per 1M leaves).
+        vocab = retrieval.train_vocabulary(D, n_words=64, iters=8)
+        assert vocab.shape == (64, 256)
+        assert vocab.dtype == np.int8
+
+        def margin(vocab_arr):
+            sigs = []
+            for pi in range(16):
+                sel = place == pi
+                # two disjoint "frames" per place
+                idx = np.nonzero(sel)[0]
+                for half in (idx[:20], idx[20:]):
+                    d = jnp.asarray(D[half])
+                    v = jnp.ones((len(half),), bool)
+                    sigs.append(np.asarray(retrieval.signature(d, v, vocab_arr)))
+            S = np.stack(sigs)  # [32, A], frames 2i and 2i+1 share a place
+            sim = S @ S.T
+            same = np.mean([sim[2 * i, 2 * i + 1] for i in range(16)])
+            mask = np.ones((32, 32), bool)
+            for i in range(16):
+                mask[2 * i, 2 * i + 1] = mask[2 * i + 1, 2 * i] = False
+            np.fill_diagonal(mask, False)
+            other = sim[mask].mean()
+            return same - other
+
+        m_trained = margin(jnp.asarray(vocab))
+        m_random = margin(None)
+        assert m_trained >= m_random - 1e-3, (m_trained, m_random)
+        # trained words should actually spread over the data
+        words = np.asarray(retrieval.descriptor_words(jnp.asarray(D), jnp.asarray(vocab)))
+        assert len(np.unique(words)) >= 16
