@@ -189,23 +189,32 @@ class Atlas:
             and am.imu["initialized"]
             and slam.imu_initialized
         )
-        # Find the best cross-map KF pair by signatures.
+        # Rank cross-map KF pairs by signature score and try the best few
+        # (the reference evaluates several merge candidates,
+        # LoopClosing.cc:1596; a single argmax pair is fragile when the
+        # revisit overlap is partial).
         cur_sigs = retrieval.kf_signatures(cur.kf_desc_sign, cur.kf_feat_valid, self.vocab)
         S = np.array(jax.device_get(cur_sigs @ am.sigs.T))  # [Kc, Ka] (writable copy)
         S[slam.n_kf:, :] = -1
         S[:, am.n_kf:] = -1
-        kc, ka = np.unravel_index(np.argmax(S), S.shape)
-        if S[kc, ka] < 0.2:
-            return False
-        # Matched landmark pairs between the two keyframes (cross-map).
-        X1, X2, ok, pt1, pt2 = _cross_map_pairs(cur, am.m, int(kc), int(ka))
-        if int(jax.device_get(ok.sum())) < 15:
-            return False
-        res = sim3solver.solve_sim3(
-            X1, X2, ok, slam.cam_params, key, min_inliers=15,
-            fix_scale=both_metric,
-        )
-        if not bool(jax.device_get(res.ok)):
+        order = np.argsort(S.reshape(-1))[::-1][:5]
+        res = None
+        for flat_idx in order:
+            kc, ka = np.unravel_index(int(flat_idx), S.shape)
+            if S[kc, ka] < 0.2:
+                break
+            # Matched landmark pairs between the two keyframes (cross-map).
+            X1, X2, ok, pt1, pt2 = _cross_map_pairs(cur, am.m, int(kc), int(ka))
+            if int(jax.device_get(ok.sum())) < 15:
+                continue
+            cand = sim3solver.solve_sim3(
+                X1, X2, ok, slam.cam_params, key, min_inliers=15,
+                fix_scale=both_metric,
+            )
+            if bool(jax.device_get(cand.ok)):
+                res = cand
+                break
+        if res is None:
             return False
         # S21: X_in_ka_cam = s R X_in_kc_cam + t. World-to-world:
         # S_wa<-wc = T_ka_w^-1 * S21 * T_kc_w  (poses cam<-world).

@@ -23,7 +23,35 @@ import numpy as np
 from ..ops import imu as imu_ops
 from ..ops import lie, viba
 from . import local_mapping, map_updates, tracking
-from .system import LOST, NOT_INITIALIZED, OK, MonoSlam
+from .system import LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, MonoSlam
+
+
+@jax.jit
+def _vi_refine(
+    m, feats, feat_pt, R_cw0, t_cw0, v0, bg0, ba0,
+    R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
+    prior_H, prior_state, cam_params, R_bc, t_bc,
+):
+    """Gather the tracker's per-feature landmark bindings into visual
+    edges and run the 15-dof VI motion-only solve (the per-frame
+    PoseInertialOptimizationLast* stage). ``prior_state`` is the
+    (R, p, v, bg, ba) mean of the 15-dim marginal prior."""
+    P = m.P
+    pt = jnp.clip(feat_pt, 0, P - 1)
+    valid = (feat_pt >= 0) & m.pt_valid[pt] & feats.valid
+    Xw = m.pt_X[pt]
+    inv_sigma2 = 1.2 ** (-2.0 * feats.level.astype(jnp.float32))
+    R_wb0, p_wb0 = viba.body_from_cam(R_cw0, t_cw0, R_bc, t_bc)
+    R_pr, p_pr, v_pr, bg_pr, ba_pr = prior_state
+    res = viba.pose_inertial_optimization(
+        R_wb0, p_wb0, v0, bg0, ba0,
+        Xw, feats.xy, inv_sigma2, valid,
+        R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
+        prior_H, R_pr, p_pr, v_pr, bg_pr, ba_pr,
+        cam_params, R_bc, t_bc,
+    )
+    R_cw, t_cw = viba.cam_from_body(res.R_wb, res.p_wb, R_bc, t_bc)
+    return res, R_cw, t_cw
 
 
 class InertialSlam(MonoSlam):
@@ -34,10 +62,20 @@ class InertialSlam(MonoSlam):
         imu_cap_frame: int = 32,
         imu_cap_kf: int = 256,
         init_after_kf: int = 6,
+        time_recently_lost: float = 5.0,
+        vi_tracking: bool = True,
         **kw,
     ):
         kw.setdefault("pipelined", False)  # IMU prediction is host-driven
         super().__init__(*args, **kw)
+        # Per-frame VI motion-only optimization once the IMU is
+        # initialized (PoseInertialOptimizationLastFrame role) and the
+        # RECENTLY_LOST dead-reckoning window it enables.
+        self.vi_tracking = vi_tracking
+        self.time_recently_lost = time_recently_lost
+        self._lost_since_ts = None
+        self._vi_anchor = None  # (R_wb, p_wb, v, bg, ba) device handles
+        self._vi_prior = None  # (H [15,15], state tuple) device handles
         self.calib = calib
         self.imu_cap_frame = imu_cap_frame
         self.imu_cap_kf = imu_cap_kf
@@ -140,6 +178,105 @@ class InertialSlam(MonoSlam):
                 self.v_cur = v2
 
     # ------------------------------------------------------------------
+    def _body_state_from_host(self):
+        """Anchor body state derived from the host-side camera pose +
+        velocity/bias (used when no per-frame anchor exists yet)."""
+        R_wb, p_wb = viba.body_from_cam(
+            jnp.asarray(self.R_cur), jnp.asarray(self.t_cur),
+            self.calib.R_bc, self.calib.t_bc,
+        )
+        return (
+            R_wb, p_wb, jnp.asarray(self.v_cur),
+            jnp.asarray(self.bg_cur), jnp.asarray(self.ba_cur),
+        )
+
+    def _track_post(self, feats, res, ts):
+        """Per-frame VI pose refinement + the RECENTLY_LOST ladder.
+
+        Once the IMU is initialized, the visual tracking result is
+        re-optimized jointly with the preintegration factor to the
+        previous frame and the 15-dim marginal prior carried from the
+        previous solve (PoseInertialOptimizationLastFrame,
+        Optimizer.cc:5020 + ConstraintPoseImu, G2oTypes.h:706). When
+        visual support collapses, the state dead-reckons on IMU for up to
+        ``time_recently_lost`` seconds (Tracking.cc:2017-2068) — KFs keep
+        being inserted so the preintegration chain stays intact."""
+        if not (self.imu_initialized and self.vi_tracking):
+            return super()._track_post(feats, res, ts)
+        acc, gyro, dts = self._frame_imu
+        if acc is None or not len(acc):
+            return super()._track_post(feats, res, ts)
+        M = self.imu_cap_frame
+        a = np.zeros((M, 3), np.float32)
+        g = np.zeros((M, 3), np.float32)
+        d = np.zeros((M,), np.float32)
+        nn = min(len(acc), M)
+        a[:nn], g[:nn], d[:nn] = acc[:nn], gyro[:nn], dts[:nn]
+        anchor = self._vi_anchor or self._body_state_from_host()
+        R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
+        b = jnp.concatenate([jnp.asarray(bg_anc), jnp.asarray(ba_anc)])
+        pre = self._jit_preint(jnp.asarray(a), jnp.asarray(g), jnp.asarray(d), b)
+        if self._vi_prior is not None:
+            prior_H, prior_state = self._vi_prior
+        else:
+            z3 = jnp.zeros(3)
+            prior_H = jnp.zeros((15, 15))
+            prior_state = (jnp.eye(3), z3, z3, z3, z3)
+        vires, R_cw, t_cw = _vi_refine(
+            self.map, feats, res.feat_pt, res.R, res.t,
+            jnp.asarray(self.v_cur), jnp.asarray(bg_anc), jnp.asarray(ba_anc),
+            R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
+            prior_H, prior_state, self.cam_params,
+            self.calib.R_bc, self.calib.t_bc,
+        )
+        n_vis, R_new, t_new = jax.device_get(
+            (vires.n_inliers, R_cw, t_cw)
+        )
+        n_vis = int(n_vis)
+        state_tuple = (vires.R_wb, vires.p_wb, vires.v_w, vires.bg, vires.ba)
+        if n_vis < 15:
+            if self.state == OK or self._lost_since_ts is None:
+                self._lost_since_ts = ts
+            if ts - self._lost_since_ts <= self.time_recently_lost:
+                self.state = RECENTLY_LOST
+                self.R_cur = np.asarray(R_new)
+                self.t_cur = np.asarray(t_new)
+                self.v_cur = vires.v_w
+                self._vi_anchor = state_tuple
+                self._vi_prior = None  # no visual info to marginalize
+                self._log_pose(ts)
+                if self._need_keyframe(n_vis):
+                    self._insert_keyframe(feats, ts, res)
+                return self._pose_mat()
+            self.state = LOST
+            self._vi_prior = None
+            self._vi_anchor = None
+            return None
+        if self.state == RECENTLY_LOST:
+            self.state = OK
+            self.lost_count = 0
+        self._lost_since_ts = None
+        self.R_cur = np.asarray(R_new)
+        self.t_cur = np.asarray(t_new)
+        self.v_cur = vires.v_w
+        self.bg_cur = vires.bg
+        self.ba_cur = vires.ba
+        self._vi_anchor = state_tuple
+        self._vi_prior = (vires.H, state_tuple)
+        self.map = map_updates.update_track_counters(
+            self.map, res.visible_mask, res.found_mask
+        )
+        self._log_pose(ts)
+        if self.on_frame is not None:
+            self.on_frame(dict(
+                event="frame", ts=ts, Twc=self._pose_mat(),
+                n_inliers=n_vis, state=self.state, n_kf=self.n_kf,
+            ))
+        if self._need_keyframe(n_vis):
+            self._insert_keyframe(feats, ts, res)
+        return self._pose_mat()
+
+    # ------------------------------------------------------------------
     def _create_initial_map(self, feats, ts, idx, res):
         super()._create_initial_map(feats, ts, idx, res)
         # KF0 (at self.init_ts) and KF1 (at ts) were just created; stash
@@ -176,6 +313,49 @@ class InertialSlam(MonoSlam):
             # roughly metric) map and re-run the full inertial BA.
             self._initialize_imu()
             self.imu_stage = 2
+
+    # ------------------------------------------------------------------
+    def _compact_hook(self, order, new_of_old, n_valid):
+        """Reorder per-slot IMU blocks after keyframe compaction. When
+        keyframes between two survivors were culled, their measurement
+        blocks are concatenated into the successor's block (the
+        reference's Preintegrated::MergePrevious, ImuTypes.cc:237);
+        overflow past the block capacity breaks the chain at that seam
+        (VI-BA masks the inertial edge there)."""
+        old_acc, old_gyro, old_dts = (
+            self.kf_imu_acc, self.kf_imu_gyro, self.kf_imu_dts,
+        )
+        acc = np.zeros_like(old_acc)
+        gyro = np.zeros_like(old_gyro)
+        dts = np.zeros_like(old_dts)
+        old_breaks = set(self.chain_breaks)
+        breaks = set()
+        for r in range(n_valid):
+            co = int(order[r])
+            if r == 0:
+                acc[0], gyro[0], dts[0] = old_acc[co], old_gyro[co], old_dts[co]
+                continue
+            po = int(order[r - 1])
+            n = 0
+            ok = True
+            for j in range(po + 1, co + 1):
+                if j in old_breaks:
+                    ok = False
+                    break
+                m_j = int((old_dts[j] > 0).sum())
+                if n + m_j > self.imu_cap_kf:
+                    ok = False
+                    break
+                acc[r, n : n + m_j] = old_acc[j, :m_j]
+                gyro[r, n : n + m_j] = old_gyro[j, :m_j]
+                dts[r, n : n + m_j] = old_dts[j, :m_j]
+                n += m_j
+            if not ok:
+                breaks.add(r)
+        self.kf_imu_acc, self.kf_imu_gyro, self.kf_imu_dts = acc, gyro, dts
+        self.chain_breaks = breaks
+        self._vi_anchor = None
+        self._vi_prior = None
 
     # ------------------------------------------------------------------
     def _initialize_imu(self, rounds: int = 1):
@@ -340,6 +520,10 @@ class InertialSlam(MonoSlam):
         self._set_ref_cache(kf_last, R_ref, t_ref)
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
+        # Map state moved under the per-frame VI tracker: drop the stale
+        # anchor/prior (re-derived from host state next frame).
+        self._vi_anchor = None
+        self._vi_prior = None
 
     def _run_vi_ba(self, window, n_iters, bias_prior_g=0.0, bias_prior_a=0.0):
         if self.n_kf < 2:
@@ -394,3 +578,6 @@ class InertialSlam(MonoSlam):
         self.bg_cur = np.asarray(bg)
         self.ba_cur = np.asarray(ba)
         self._set_ref_cache(kf_last, R_ref, t_ref)
+        # BA moved keyframe poses: the per-frame VI anchor/prior are stale.
+        self._vi_anchor = None
+        self._vi_prior = None

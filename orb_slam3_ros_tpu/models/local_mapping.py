@@ -28,6 +28,7 @@ def build_local_ba(
     fixed_mask: jnp.ndarray,  # [W] bool
     cam_params: jnp.ndarray,
     scale: float = 1.2,
+    bf: jnp.ndarray | float = 0.0,
 ):
     """Gather the covisible window into a fixed-capacity BA problem.
 
@@ -80,6 +81,8 @@ def build_local_ba(
         inv_sigma2=inv_sigma2,
         edge_valid=edge_valid,
         cam_params=cam_params,
+        ur=m.kf_ur[window_ids].reshape(-1),
+        bf=jnp.asarray(bf, m.kf_t.dtype),
     )
     return prob, sel
 
@@ -117,7 +120,7 @@ def drop_ba_outlier_obs(
 
 @partial(jax.jit, static_argnames=("scale",))
 def build_global_ba(m: MapState, n_kf: jnp.ndarray, cam_params: jnp.ndarray,
-                    scale: float = 1.2):
+                    scale: float = 1.2, bf: jnp.ndarray | float = 0.0):
     """All-keyframe, all-landmark BA problem — the input of the reference's
     ``GlobalBundleAdjustemnt`` (Optimizer.cc:52: every KF vertex, KF 0
     fixed, every MapPoint vertex). No compaction: solve it with the
@@ -149,6 +152,8 @@ def build_global_ba(m: MapState, n_kf: jnp.ndarray, cam_params: jnp.ndarray,
         inv_sigma2=inv_sigma2,
         edge_valid=edge_valid,
         cam_params=cam_params,
+        ur=m.kf_ur.reshape(-1),
+        bf=jnp.asarray(bf, m.kf_t.dtype),
     )
 
 

@@ -132,6 +132,158 @@ def _grow_matches_by_sim3(
     return X1, X2, ok, pt1, pt2, sig1, sig2
 
 
+@partial(jax.jit, static_argnames=("n_iters", "four_dof", "cov_min"))
+def _essential_graph_pgo(
+    m: ms.MapState,
+    new_kf: jnp.ndarray,
+    cand_kf: jnp.ndarray,
+    loop_R: jnp.ndarray,
+    loop_t: jnp.ndarray,
+    loop_s: jnp.ndarray,
+    n_kf: jnp.ndarray,
+    past_i: jnp.ndarray,  # [L] persistent loop/merge edges (or -1)
+    past_j: jnp.ndarray,
+    past_R: jnp.ndarray,  # [L,3,3] stored S_ji measurements
+    past_t: jnp.ndarray,
+    past_s: jnp.ndarray,
+    past_valid: jnp.ndarray,
+    n_iters: int = 24,
+    four_dof: bool = False,
+    cov_min: int = 100,
+):
+    """True essential-graph optimization (Optimizer::OptimizeEssentialGraph,
+    orb_slam3/src/Optimizer.cc:1504-1929): spanning-tree edges +
+    strong-covisibility edges (w >= 100, Optimizer.cc:1711 minFeat) +
+    accumulated past loop/merge edges + the new loop edge, with ONLY the
+    loop-candidate keyframe fixed (Optimizer.cc:1550-1560) and the Sim3
+    correction pre-propagated through the current keyframe's covisible
+    neighborhood as initial values (LoopClosing.cc:2075-2235
+    CorrectedSim3).
+
+    The spanning tree is derived on device: each keyframe's parent is its
+    strongest-covisibility OLDER keyframe (falling back to its temporal
+    predecessor), which reproduces the reference's tree structure (a
+    keyframe's parent is the covisible KF with most shared points,
+    KeyFrame::ChangeParent semantics) without pointer bookkeeping.
+
+    Edge measurements are all computed from the CURRENT (pre-correction)
+    poses — the reference's NonCorrectedSim3 (LoopClosing.cc:2093) —
+    while the optimizer starts from the corrected window so the loop
+    discrepancy is distributed through the whole graph rather than the
+    single chain path.
+
+    Note: point correction composes so that pre-propagating point
+    positions is unnecessary — X_final = S_pgo^-1(S_old(X)) regardless of
+    the window pre-correction, since the pre-correction cancels between
+    the point move and the initial value (both are S_corr^-1 S_old).
+    """
+    K = m.K
+    dtype = m.kf_t.dtype
+    ids = jnp.arange(K)
+    valid = m.kf_valid & (ids < n_kf)
+    ones = jnp.ones((K,), dtype)
+    cov = ms.covisibility(m)
+
+    def rel_of(i, j):
+        """S_ji = S_jw * S_iw^-1 from current poses (scale 1)."""
+        oi = jnp.ones(jnp.shape(i), dtype)
+        Rinv, tinv, sinv = lie.sim3_inv(m.kf_R[i], m.kf_t[i], oi)
+        return lie.sim3_mul(m.kf_R[j], m.kf_t[j], oi, Rinv, tinv, sinv)
+
+    # --- spanning tree: parent = strongest-covisibility older KF ---
+    older = (ids[None, :] < ids[:, None]) & valid[None, :]
+    w_par = jnp.where(older, cov, -1)
+    parent = jnp.argmax(w_par, axis=1).astype(jnp.int32)
+    parent = jnp.where(jnp.max(w_par, axis=1) > 0, parent,
+                       jnp.maximum(ids - 1, 0).astype(jnp.int32))
+    st_i, st_j = ids.astype(jnp.int32), parent
+    st_R, st_t, st_s = rel_of(st_i, st_j)
+    st_valid = valid & valid[parent] & (ids >= 1)
+
+    # --- strong covisibility edges (upper triangle, tree/loop excluded) ---
+    iu_np, ju_np = np.triu_indices(K, k=1)
+    iu = jnp.asarray(iu_np.astype(np.int32))
+    ju = jnp.asarray(ju_np.astype(np.int32))
+    cv_R, cv_t, cv_s = rel_of(iu, ju)
+    not_tree = (parent[ju] != iu) & (parent[iu] != ju)
+    not_loop = ~(
+        ((iu == cand_kf) & (ju == new_kf)) | ((iu == new_kf) & (ju == cand_kf))
+    )
+    cv_valid = (
+        (cov[iu, ju] >= cov_min) & valid[iu] & valid[ju] & not_tree & not_loop
+    )
+
+    # --- loop measurement (i=new, j=cand): S_ji = S21 ---
+    if four_dof:
+        # Metric map: fold the Sim3 scale into the translation, pin s=1
+        # (current AND stored past loop edges).
+        loop_t_e = loop_t / jnp.maximum(loop_s, 1e-6)
+        loop_s_e = jnp.ones((), dtype)
+        past_t = past_t / jnp.maximum(past_s, 1e-6)[:, None]
+    else:
+        loop_t_e = loop_t
+        loop_s_e = loop_s
+
+    e_i = jnp.concatenate([st_i, iu, past_i.astype(jnp.int32), new_kf[None].astype(jnp.int32)])
+    e_j = jnp.concatenate([st_j, ju, past_j.astype(jnp.int32), cand_kf[None].astype(jnp.int32)])
+    e_R = jnp.concatenate([st_R, cv_R, past_R, loop_R[None]])
+    e_t = jnp.concatenate([st_t, cv_t, past_t, loop_t_e[None]])
+    e_s = jnp.concatenate([st_s, cv_s, past_s, loop_s_e[None]])
+    if four_dof:
+        e_s = jnp.ones_like(e_s)
+    pv = (
+        past_valid
+        & (past_i >= 0)
+        & valid[jnp.clip(past_i, 0, K - 1)]
+        & valid[jnp.clip(past_j, 0, K - 1)]
+    )
+    e_valid = jnp.concatenate([st_valid, cv_valid, pv, jnp.asarray([True])])
+    e_w = jnp.ones((e_i.shape[0],), dtype)
+
+    # --- Sim3 correction pre-propagation (CorrectedSim3 initial values):
+    # corrected S_neww = S21^-1 * S_candw; each covisible neighbor i gets
+    # S_iw_corr = (S_iw * S_neww^-1) * S_neww_corr ---
+    one = jnp.ones((), dtype)
+    Ri21, ti21, si21 = lie.sim3_inv(loop_R, loop_t_e, loop_s_e)
+    Rn_c, tn_c, sn_c = lie.sim3_mul(
+        Ri21, ti21, si21, m.kf_R[cand_kf], m.kf_t[cand_kf], one
+    )
+    Rni, tni, sni = lie.sim3_inv(m.kf_R[new_kf], m.kf_t[new_kf], one)
+    Ri_n, ti_n, si_n = lie.sim3_mul(
+        m.kf_R, m.kf_t, ones, Rni[None], tni[None], sni[None]
+    )
+    Ri_c, ti_c, si_c = lie.sim3_mul(Ri_n, ti_n, si_n, Rn_c, tn_c, sn_c)
+    window = ((cov[new_kf] >= 15) | (ids == new_kf)) & valid & (ids != cand_kf)
+    R1 = jnp.where(window[:, None, None], Ri_c, m.kf_R)
+    t1 = jnp.where(window[:, None], ti_c, m.kf_t)
+    s1 = jnp.where(window, si_c, ones)
+
+    prob = pgo.PGOProblem(
+        R=R1, t=t1, s=s1,
+        kf_fixed=(ids == cand_kf) | ~valid,
+        kf_valid=valid,
+        e_i=e_i, e_j=e_j, e_R=e_R, e_t=e_t, e_s=e_s,
+        e_valid=e_valid, e_weight=e_w,
+    )
+    if four_dof:
+        res = pgo.optimize_pose_graph_4dof(prob, n_iters=n_iters)
+    else:
+        res = pgo.optimize_pose_graph(prob, n_iters=n_iters)
+
+    s_safe = jnp.maximum(res.s, 1e-6)
+    new_t = res.t / s_safe[:, None]
+    X_new = pgo.correct_points(
+        m.pt_X, jnp.clip(m.pt_first_kf, 0, K - 1),
+        m.kf_R, m.kf_t, ones, res.R, res.t, res.s,
+    )
+    m2 = m._replace(
+        kf_R=jnp.where(valid[:, None, None], res.R, m.kf_R),
+        kf_t=jnp.where(valid[:, None], new_t, m.kf_t),
+        pt_X=jnp.where(m.pt_valid[:, None], X_new, m.pt_X),
+    )
+    return m2, res.cost
+
+
 @partial(jax.jit, static_argnames=("n_iters", "four_dof"))
 def _pgo_over_chain(
     m: ms.MapState,
@@ -235,10 +387,24 @@ class LoopCloser:
     def __init__(self, min_gap: int = 10, min_score: float = 0.15,
                  min_sim3_inliers: int = 20, use_covisibility: bool = True,
                  four_dof: bool = False, dump_dir: str | None = None,
-                 run_gba: bool = True, gba_iters: int = 8):
+                 run_gba: bool = True, gba_iters: int = 8,
+                 required_consistency: int = 3, auto_train_vocab: bool = True):
         self.min_gap = min_gap
         self.min_score = min_score
         self.min_sim3_inliers = min_sim3_inliers
+        # Temporal-consistency verification: a candidate Sim3 must be
+        # re-confirmed by guided projection on ``required_consistency``
+        # consecutive keyframes before any correction fires (the
+        # reference's mnLoopNumCoincidences >= 3 gate,
+        # LoopClosing.cc:1342-1595). 1 = correct immediately.
+        self.required_consistency = required_consistency
+        self._pending = None  # {'cand', 'count', 'miss', 'S_cw': (R,t,s)}
+        # Train the k-medians retrieval vocabulary from observed
+        # descriptors once the map is big enough (the reference loads an
+        # offline-trained ORB vocabulary at startup, System.cc:114; here
+        # the session's own descriptors are the training set).
+        self.auto_train_vocab = auto_train_vocab
+        self._vocab_trained_at = -1
         # Global BA after loop correction (the reference spawns a
         # RunGlobalBundleAdjustment thread from CorrectLoop,
         # LoopClosing.cc:2529-2537; here it's one Schur-PCG solve whose
@@ -265,6 +431,55 @@ class LoopCloser:
         # Optional trained vocabulary ([A,256] +-1; None = seeded
         # anchors). Set via MonoSlam.set_vocabulary.
         self.vocab = None
+        # Persistent loop/merge edges (KeyFrame::mspLoopEdges role,
+        # KeyFrame.h:466-482): every accepted closure's Sim3 constraint
+        # stays in all later essential-graph optimizations. Fixed
+        # capacity so the jitted PGO never recompiles.
+        self.max_loop_edges = 16
+        self._edge_i = np.full((self.max_loop_edges,), -1, np.int32)
+        self._edge_j = np.full((self.max_loop_edges,), -1, np.int32)
+        self._edge_R = np.tile(np.eye(3, dtype=np.float32),
+                               (self.max_loop_edges, 1, 1))
+        self._edge_t = np.zeros((self.max_loop_edges, 3), np.float32)
+        self._edge_s = np.ones((self.max_loop_edges,), np.float32)
+        self._n_edges = 0
+
+    def _record_loop_edge(self, i, j, R, t, s):
+        k = self._n_edges % self.max_loop_edges  # ring: oldest evicted
+        self._edge_i[k] = i
+        self._edge_j[k] = j
+        self._edge_R[k] = np.asarray(R)
+        self._edge_t[k] = np.asarray(t)
+        self._edge_s[k] = float(s)
+        self._n_edges += 1
+
+    def remap_slots(self, new_of_old: np.ndarray) -> None:
+        """Reindex persistent loop edges after keyframe-slot compaction;
+        edges with a culled endpoint are dropped, the pending hypothesis
+        (slot-addressed) is discarded."""
+        self._pending = None
+        for k in range(self.max_loop_edges):
+            if self._edge_i[k] < 0:
+                continue
+            a = new_of_old[self._edge_i[k]]
+            b = new_of_old[self._edge_j[k]]
+            if a < 0 or b < 0:
+                self._edge_i[k] = -1
+                self._edge_j[k] = -1
+            else:
+                self._edge_i[k] = a
+                self._edge_j[k] = b
+        if 0 <= self.last_closed_kf < len(new_of_old):
+            nb = new_of_old[self.last_closed_kf]
+            self.last_closed_kf = int(nb) if nb >= 0 else -100
+
+    def _past_edges(self):
+        valid = self._edge_i >= 0
+        return (
+            jnp.asarray(self._edge_i), jnp.asarray(self._edge_j),
+            jnp.asarray(self._edge_R), jnp.asarray(self._edge_t),
+            jnp.asarray(self._edge_s), jnp.asarray(valid),
+        )
 
     def _dump_problem(self, slam, m, new_kf, cand_kf, res, tag):
         """Write the complete pre/post optimization problem (the fork's
@@ -287,9 +502,25 @@ class LoopCloser:
         )
 
     def try_close(self, slam, new_kf: int, key) -> bool:
-        """Attempt loop closure on keyframe ``new_kf``. Mutates
-        ``slam.map`` on success. Returns True if a loop was closed."""
+        """Attempt loop closure on keyframe ``new_kf``. A fresh candidate
+        must survive guided-projection verification on
+        ``required_consistency`` consecutive keyframes before the
+        correction fires (NewDetectCommonRegions' mnLoopNumCoincidences
+        flow, LoopClosing.cc:1342-1595). Mutates ``slam.map`` on success.
+        Returns True if a loop was closed."""
         m = slam.map
+        if (
+            self.auto_train_vocab
+            and self.vocab is None
+            and self._vocab_trained_at < 0
+            and slam.n_kf >= 12
+        ):
+            slam.train_vocabulary_from_map()
+            self._vocab_trained_at = slam.n_kf
+        if self._pending is not None:
+            fired = self._advance_pending(slam, new_kf)
+            if fired is not None:
+                return fired
         if new_kf - self.last_closed_kf < self.min_gap:
             return False
         sigs = retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid, self.vocab)
@@ -299,16 +530,28 @@ class LoopCloser:
         exclude = jnp.asarray(
             (ids > new_kf - self.min_gap) | (ids >= slam.n_kf)
         )
+        cov = ms.covisibility(m)
         if self.use_covisibility:
-            cov = ms.covisibility(m)[new_kf]
-            exclude = exclude | (cov > 10)
-        cand_ids, scores = retrieval.detect_candidates(
+            exclude = exclude | (cov[new_kf] > 10)
+        cand_g, _ = retrieval.detect_candidates_grouped(
+            q, sigs, cov, m.kf_valid, exclude, min_common_score=self.min_score
+        )
+        # Also keep the plain individual-score ranking: on self-similar
+        # scenes the group accumulation can crowd out the true revisit
+        # (every signature scores high against everything, so big groups
+        # dominate); the union covers both regimes.
+        cand_f, _ = retrieval.detect_candidates(
             q, sigs, m.kf_valid, exclude, min_common_score=self.min_score
         )
-        cand_ids = np.asarray(jax.device_get(cand_ids))
+        cand_ids = np.concatenate([
+            np.asarray(jax.device_get(cand_g)),
+            np.asarray(jax.device_get(cand_f)),
+        ])
+        tried = set()
         for c in cand_ids:
-            if c < 0:
+            if c < 0 or int(c) in tried:
                 continue
+            tried.add(int(c))
             X1, X2, ok, pt1, pt2, sig1, sig2 = _match_points_between(
                 m, jnp.asarray(new_kf), jnp.asarray(int(c))
             )
@@ -342,46 +585,127 @@ class LoopCloser:
                 )
                 if not bool(jax.device_get(res.ok)):
                     continue
-            # Correct the map, then merge the duplicate landmarks the
-            # drifted revisit created. Inertial maps use the 4-dof
-            # essential graph (pMap->IsInertial() branch in the
-            # reference's CorrectLoop, LoopClosing.cc:2370-2375).
-            four_dof = self.four_dof or bool(
-                getattr(slam, "imu_initialized", False)
-            )
-            if self.dump_dir:
-                self._dump_problem(slam, m, new_kf, int(c), res, "pre")
-            slam.map, cost = _pgo_over_chain(
-                m, jnp.asarray(new_kf), jnp.asarray(int(c)),
-                res.R, res.t, res.s, jnp.asarray(slam.n_kf),
-                four_dof=four_dof,
-            )
-            if self.dump_dir:
-                self._dump_problem(slam, slam.map, new_kf, int(c), res, "post")
-            slam.map = _fuse_duplicates(slam.map, pt1, pt2, ok & res.inlier)
-            if self.run_gba:
-                from ..ops import ba_pcg
-                from . import local_mapping
-
-                prob = local_mapping.build_global_ba(
-                    slam.map, jnp.asarray(slam.n_kf), slam.cam_params
+                ok = okg
+            if self.required_consistency <= 1:
+                return self._apply_closure(
+                    slam, new_kf, int(c), res.R, res.t, res.s,
+                    int(jax.device_get(res.n_inliers)),
+                    pt1, pt2, ok & res.inlier,
                 )
-                gres = ba_pcg.bundle_adjust_pcg(
-                    prob, n_iters=self.gba_iters, n_cg=50
-                )
-                slam.map = local_mapping.apply_global_ba(slam.map, gres)
-            # Landmark geometry moved wholesale: recompute viewing
-            # normals / depth bands / representative descriptors now
-            # rather than waiting for the next keyframe cadence.
-            slam.map = map_updates.refresh_point_stats(
-                slam.map, n_levels=slam.config.n_levels
+            # Stash the hypothesis as world -> candidate-camera Sim3
+            # (g2oScw role): S_cw = S21 * S_neww.
+            one = jnp.ones((), m.kf_t.dtype)
+            S_cw = lie.sim3_mul(
+                res.R, res.t, res.s, m.kf_R[new_kf], m.kf_t[new_kf], one
             )
-            self.last_closed_kf = new_kf
-            self.closures.append((new_kf, int(c), int(res.n_inliers)))
-            # Refresh the tracker's current pose from the corrected KF.
-            slam.R_cur = np.asarray(jax.device_get(slam.map.kf_R[new_kf]))
-            slam.t_cur = np.asarray(jax.device_get(slam.map.kf_t[new_kf]))
-            slam.vel_R = np.eye(3, dtype=np.float32)
-            slam.vel_t = np.zeros(3, np.float32)
-            return True
+            self._pending = {
+                "cand": int(c), "count": 1, "miss": 0, "S_cw": S_cw,
+            }
+            return False
         return False
+
+    def _advance_pending(self, slam, new_kf: int):
+        """Verify the pending hypothesis against keyframe ``new_kf`` by
+        guided projection through the propagated Sim3
+        (DetectAndReffineSim3FromLastKF, LoopClosing.cc:1553). Returns
+        True/False if this keyframe's processing is finished, or None to
+        fall through to fresh detection (hypothesis discarded)."""
+        m = slam.map
+        p = self._pending
+        one = jnp.ones((), m.kf_t.dtype)
+        R_cw, t_cw, s_cw = p["S_cw"]
+        Rji, tji, sji = lie.sim3_inv(m.kf_R[new_kf], m.kf_t[new_kf], one)
+        Rcj, tcj, scj = lie.sim3_mul(R_cw, t_cw, s_cw, Rji, tji, sji)
+        X1, X2, okg, pt1, pt2, sig1, sig2 = _grow_matches_by_sim3(
+            m, jnp.asarray(new_kf), jnp.asarray(p["cand"]),
+            scj, Rcj, tcj, slam.cam_params, slam.width, slam.height,
+        )
+        res = sim3solver.refine_sim3(
+            X1, X2, okg, slam.cam_params, scj, Rcj, tcj,
+            min_inliers=self.min_sim3_inliers,
+            sigma2_1=sig1, sigma2_2=sig2,
+        )
+        if bool(jax.device_get(res.ok)):
+            p["count"] += 1
+            p["miss"] = 0
+            p["S_cw"] = lie.sim3_mul(
+                res.R, res.t, res.s, m.kf_R[new_kf], m.kf_t[new_kf], one
+            )
+            if p["count"] >= self.required_consistency:
+                self._pending = None
+                return self._apply_closure(
+                    slam, new_kf, p["cand"], res.R, res.t, res.s,
+                    int(jax.device_get(res.n_inliers)),
+                    pt1, pt2, okg & res.inlier,
+                )
+            return False
+        p["miss"] += 1
+        if p["miss"] > 1:  # mnLoopNumNotFound < 2 tolerance
+            self._pending = None
+            return None
+        return False
+
+    def _apply_closure(
+        self, slam, new_kf: int, cand: int, loop_R, loop_t, loop_s,
+        n_inliers: int, pt1, pt2, fuse_ok,
+    ) -> bool:
+        """Correct the map through the essential graph, weld duplicate
+        landmarks, and (optionally) run global BA — the CorrectLoop stage
+        (LoopClosing.cc:1987-2537)."""
+        m = slam.map
+
+        class _Res(NamedTuple):
+            R: jnp.ndarray
+            t: jnp.ndarray
+            s: jnp.ndarray
+
+        res = _Res(R=loop_R, t=loop_t, s=loop_s)
+        # Inertial maps use the 4-dof essential graph (pMap->IsInertial()
+        # branch in CorrectLoop, LoopClosing.cc:2370-2375).
+        four_dof = self.four_dof or bool(
+            getattr(slam, "imu_initialized", False)
+        )
+        if self.dump_dir:
+            self._dump_problem(slam, m, new_kf, cand, res, "pre")
+        pi, pj, pR, pt, ps, pv = self._past_edges()
+        slam.map, cost = _essential_graph_pgo(
+            m, jnp.asarray(new_kf), jnp.asarray(cand),
+            loop_R, loop_t, loop_s, jnp.asarray(slam.n_kf),
+            pi, pj, pR, pt, ps, pv,
+            four_dof=four_dof,
+        )
+        self._record_loop_edge(
+            new_kf, cand,
+            np.asarray(jax.device_get(loop_R)),
+            np.asarray(jax.device_get(loop_t)),
+            float(jax.device_get(loop_s)),
+        )
+        if self.dump_dir:
+            self._dump_problem(slam, slam.map, new_kf, cand, res, "post")
+        slam.map = _fuse_duplicates(slam.map, pt1, pt2, fuse_ok)
+        if self.run_gba:
+            from ..ops import ba_pcg
+            from . import local_mapping
+
+            prob = local_mapping.build_global_ba(
+                slam.map, jnp.asarray(slam.n_kf), slam.cam_params,
+                bf=jnp.asarray(getattr(slam, "bf", 0.0), jnp.float32),
+            )
+            gres = ba_pcg.bundle_adjust_pcg(
+                prob, n_iters=self.gba_iters, n_cg=50
+            )
+            slam.map = local_mapping.apply_global_ba(slam.map, gres)
+        # Landmark geometry moved wholesale: recompute viewing
+        # normals / depth bands / representative descriptors now
+        # rather than waiting for the next keyframe cadence.
+        slam.map = map_updates.refresh_point_stats(
+            slam.map, n_levels=slam.config.n_levels
+        )
+        self.last_closed_kf = new_kf
+        self.closures.append((new_kf, cand, n_inliers))
+        # Refresh the tracker's current pose from the corrected KF.
+        slam.R_cur = np.asarray(jax.device_get(slam.map.kf_R[new_kf]))
+        slam.t_cur = np.asarray(jax.device_get(slam.map.kf_t[new_kf]))
+        slam.vel_R = np.eye(3, dtype=np.float32)
+        slam.vel_t = np.zeros(3, np.float32)
+        return True

@@ -39,6 +39,12 @@ class MapState(NamedTuple):
     kf_feat_valid: jnp.ndarray  # [K,N] bool
     kf_obs: jnp.ndarray  # [K,N] int32 map-point id or -1
     kf_ts: jnp.ndarray  # [K] timestamps
+    # Right-image x-coordinate of each keypoint's stereo match (-1 =
+    # monocular observation) — feeds the 3-dim (u, v, u_r) stereo
+    # residuals (Frame::mvuRight, orb_slam3/include/Frame.h:271;
+    # EdgeStereo, G2oTypes.h:425). RGB-D fills the virtual right coord
+    # u_r = u - fx*b/z like Frame::ComputeStereoFromRGBD (Frame.cc:984).
+    kf_ur: jnp.ndarray  # [K,N]
     # --- map points ---
     pt_valid: jnp.ndarray  # [P] bool
     pt_X: jnp.ndarray  # [P,3] world position
@@ -84,6 +90,7 @@ def empty_map(K: int, N: int, P: int, dtype=jnp.float32) -> MapState:
         kf_feat_valid=jnp.zeros((K, N), bool),
         kf_obs=jnp.full((K, N), -1, jnp.int32),
         kf_ts=jnp.zeros((K,), dtype),
+        kf_ur=jnp.full((K, N), -1.0, dtype),
         pt_valid=jnp.zeros((P,), bool),
         pt_X=jnp.zeros((P, 3), dtype),
         pt_desc_sign=jnp.zeros((P, 256), jnp.int8),

@@ -39,9 +39,13 @@ def insert_keyframe(
     ts: jnp.ndarray,
     feats: Features,
     feat_pt: jnp.ndarray,
+    ur: jnp.ndarray | None = None,
 ) -> MapState:
     """Write a new keyframe slot (KeyFrame ctor + LocalMapping::
-    ProcessNewKeyFrame observation binding)."""
+    ProcessNewKeyFrame observation binding). ``ur`` carries the stereo
+    right-image x-coordinates per feature (-1 = monocular)."""
+    if ur is None:
+        ur = jnp.full((m.N,), -1.0, m.kf_ur.dtype)
     return m._replace(
         kf_valid=m.kf_valid.at[kf_id].set(True),
         kf_R=m.kf_R.at[kf_id].set(R),
@@ -53,6 +57,7 @@ def insert_keyframe(
         kf_feat_valid=m.kf_feat_valid.at[kf_id].set(feats.valid),
         kf_obs=m.kf_obs.at[kf_id].set(feat_pt),
         kf_ts=m.kf_ts.at[kf_id].set(ts),
+        kf_ur=m.kf_ur.at[kf_id].set(ur),
     )
 
 
@@ -521,3 +526,54 @@ def refresh_point_stats(
         pt_min_dist=jnp.where(touched, min_d, m.pt_min_dist),
         pt_max_dist=jnp.where(touched, max_d, m.pt_max_dist),
     )
+
+
+@jax.jit
+def compact_keyframes(m: MapState):
+    """Compact valid keyframe slots to the front of the arrays,
+    preserving temporal order — the slot-recycling mechanism that lets a
+    fixed-capacity map run unbounded sequences (the reference's maps are
+    pointer-based and unbounded; here culled keyframes leave holes that
+    insertion-by-count cannot reuse, so the holes are squeezed out at
+    capacity pressure).
+
+    Returns (new_map, n_valid, old_of [K]) where ``old_of[r]`` is the old
+    slot index now living at slot r (for host-side bookkeeping: IMU
+    blocks, loop edges, relative-trajectory references). ``pt_first_kf``
+    is remapped on device; a point whose creating keyframe was culled
+    inherits the nearest EARLIER surviving keyframe (its pose correction
+    reference stays temporally adjacent).
+    """
+    K = m.K
+    valid = m.kf_valid
+    order = jnp.argsort(~valid, stable=True).astype(jnp.int32)  # valid first
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # new index of old slot k (for remapping references INTO the table):
+    # rank among valid slots; invalid slots map to the nearest earlier
+    # valid slot's new index (clipped at 0).
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    new_of_old = jnp.clip(rank, 0, K - 1)
+
+    def take_kf(a):
+        return a[order]
+
+    pt_first = new_of_old[jnp.clip(m.pt_first_kf, 0, K - 1)]
+    new_obs = take_kf(m.kf_obs)
+    m2 = m._replace(
+        kf_valid=take_kf(m.kf_valid),
+        kf_R=take_kf(m.kf_R),
+        kf_t=take_kf(m.kf_t),
+        kf_xy=take_kf(m.kf_xy),
+        kf_level=take_kf(m.kf_level),
+        kf_angle=take_kf(m.kf_angle),
+        kf_desc_sign=take_kf(m.kf_desc_sign),
+        kf_feat_valid=take_kf(m.kf_feat_valid),
+        kf_obs=new_obs,
+        kf_ts=take_kf(m.kf_ts),
+        kf_ur=take_kf(m.kf_ur),
+        kf_v=take_kf(m.kf_v),
+        kf_bg=take_kf(m.kf_bg),
+        kf_ba=take_kf(m.kf_ba),
+        pt_first_kf=pt_first,
+    )
+    return m2, n_valid, order

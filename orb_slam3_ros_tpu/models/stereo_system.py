@@ -15,9 +15,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import pose_opt as pose_opt_ops
 from ..ops import stereo as stereo_ops
 from . import map_updates, tracking
-from .system import LOST, NOT_INITIALIZED, OK, MonoSlam
+from .inertial_system import InertialSlam
+from .system import LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, MonoSlam
+
+
+@jax.jit
+def _stereo_refine(m, feats, feat_pt, ur, R0, t0, cam_params, bf):
+    """Re-optimize the tracked pose over mixed mono/stereo (u, v, u_r)
+    edges gathered from the tracker's per-feature landmark bindings (the
+    stereo branch of PoseOptimization, Optimizer.cc:816)."""
+    P = m.P
+    pt = jnp.clip(feat_pt, 0, P - 1)
+    valid = (feat_pt >= 0) & m.pt_valid[pt] & feats.valid
+    inv_sigma2 = 1.2 ** (-2.0 * feats.level.astype(jnp.float32))
+    return pose_opt_ops.pose_optimization_stereo(
+        R0, t0, m.pt_X[pt], feats.xy, ur, bf, inv_sigma2, valid, cam_params,
+    )
 
 
 class StereoSlam(MonoSlam):
@@ -27,6 +43,9 @@ class StereoSlam(MonoSlam):
         kw.setdefault("pipelined", False)  # custom per-frame flow below
         super().__init__(*args, **kw)
         self.baseline = baseline
+        # fx * baseline — the disparity scale of the (u, v, u_r) stereo
+        # residuals (the reference's mbf).
+        self.bf = float(np.asarray(self.cam_params)[0]) * baseline
         # points farther than depth_factor_far * baseline are "far" and
         # not created from single-view depth (reference mThDepth,
         # Tracking.cc:3255 close-point rule).
@@ -40,10 +59,24 @@ class StereoSlam(MonoSlam):
         )
         self._last_depth = None
 
+    def _track_post(self, feats, res, ts):
+        """Stereo refinement of the visually tracked pose before the
+        standard bookkeeping."""
+        sm = self._last_depth
+        if sm is not None:
+            ur = jnp.where(sm.valid, sm.u_right, -1.0)
+            r2 = _stereo_refine(
+                self.map, feats, res.feat_pt, ur, res.R, res.t,
+                self.cam_params, jnp.asarray(self.bf, jnp.float32),
+            )
+            res = res._replace(R=r2.R, t=r2.t, n_inliers=r2.n_inliers)
+        return super()._track_post(feats, res, ts)
+
     # ------------------------------------------------------------------
     def process_frame(self, img_left, img_right, ts: float):
         import time
 
+        self._check_ts_jump(ts)
         t0 = time.time()
         il = jnp.asarray(img_left, jnp.float32)
         ir = jnp.asarray(img_right, jnp.float32)
@@ -55,7 +88,7 @@ class StereoSlam(MonoSlam):
 
         if self.state == NOT_INITIALIZED:
             out = self._stereo_initialize(feats, sm, ts)
-        elif self.state == OK:
+        elif self.state in (OK, RECENTLY_LOST):
             self._predict_motion(ts)
             out = self._track(feats, ts)
         else:
@@ -79,6 +112,7 @@ class StereoSlam(MonoSlam):
             self.map, jnp.asarray(kf_id), jnp.eye(3), jnp.zeros(3),
             jnp.asarray(ts, jnp.float32), feats,
             jnp.full((self.N,), -1, jnp.int32),
+            ur=jnp.where(sm.valid, sm.u_right, -1.0),
         )
         X_c = stereo_ops.backproject(self.cam_params, feats.xy, sm.depth)
         self.map, n_new = map_updates.admit_depth_points(
@@ -101,10 +135,12 @@ class StereoSlam(MonoSlam):
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, ts, track_res):
         kf_id = self.n_kf
+        sm0 = self._last_depth
+        ur = jnp.where(sm0.valid, sm0.u_right, -1.0) if sm0 is not None else None
         self.map = map_updates.insert_keyframe(
             self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
             jnp.asarray(self.t_cur), jnp.asarray(ts, jnp.float32),
-            feats, track_res.feat_pt,
+            feats, track_res.feat_pt, ur=ur,
         )
         self.n_kf += 1
         self.last_kf_frame = self.frame_id
@@ -140,9 +176,7 @@ class StereoSlam(MonoSlam):
         super()._run_local_ba(n_iters)
 
 
-class StereoInertialSlam(__import__("orb_slam3_ros_tpu.models.inertial_system",
-                                     fromlist=["InertialSlam"]).InertialSlam,
-                         StereoSlam):
+class StereoInertialSlam(InertialSlam, StereoSlam):
     """Stereo-inertial pipeline (the reference's IMU_STEREO mode).
 
     Cooperative MRO: InertialSlam supplies IMU ingestion, prediction,
@@ -185,30 +219,67 @@ class RgbdSlam(StereoSlam):
         super().__init__(*args, baseline=0.05, **kw)
         self.max_depth = max_depth
 
-    def process_frame(self, img, depth_map, ts: float):
-        import time
-
-        t0 = time.time()
-        il = jnp.asarray(img, jnp.float32)
-        feats = self._extract(il)
-        dm = jnp.asarray(depth_map, jnp.float32)
+    def _depth_to_match(self, feats, dm):
+        """Sample depth at feature locations and derive the VIRTUAL right
+        coordinate u_r = u - bf/d (Frame::ComputeStereoFromRGBD,
+        Frame.cc:984) so RGB-D observations feed the same (u, v, u_r)
+        stereo residuals as true stereo."""
         xi = jnp.clip(feats.xy[:, 0].astype(jnp.int32), 0, dm.shape[1] - 1)
         yi = jnp.clip(feats.xy[:, 1].astype(jnp.int32), 0, dm.shape[0] - 1)
         d = dm[yi, xi]
-        sm = stereo_ops.StereoMatch(
-            u_right=jnp.full_like(d, -1.0),
+        valid = feats.valid & (d > 0.05)
+        d_safe = jnp.maximum(d, 0.05)
+        u_r = feats.xy[:, 0] - self.bf / d_safe
+        return stereo_ops.StereoMatch(
+            u_right=jnp.where(valid, u_r, -1.0),
             depth=d,
-            valid=feats.valid & (d > 0.05),
+            valid=valid,
         )
+
+    def process_frame(self, img, depth_map, ts: float):
+        import time
+
+        self._check_ts_jump(ts)
+        t0 = time.time()
+        il = jnp.asarray(img, jnp.float32)
+        feats = self._extract(il)
+        sm = self._depth_to_match(feats, jnp.asarray(depth_map, jnp.float32))
         self._last_depth = sm
         t0 = self._tic("extract+depth", t0)
 
         if self.state == NOT_INITIALIZED:
             out = self._stereo_initialize(feats, sm, ts)
-        elif self.state == OK:
+        elif self.state in (OK, RECENTLY_LOST):
             out = self._track(feats, ts)
         else:
             out = self._try_relocalize(feats, ts)
         self._tic("track", t0)
         self.frame_id += 1
         return out
+
+
+class RgbdInertialSlam(InertialSlam, RgbdSlam):
+    """RGB-D-inertial pipeline — the reference's 6th sensor mode
+    (``System(..., IMU_RGBD)``, src/ros_rgbd_inertial.cc:1-195).
+
+    Cooperative MRO like StereoInertialSlam: InertialSlam supplies IMU
+    ingestion/prediction/staged init (fix_scale — depth observes metric
+    scale) and VI keyframe BA; RgbdSlam supplies depth-based frame
+    construction, instant metric init, and landmark creation."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.imu_fix_scale = True
+
+    def process_frame(self, img, depth_map, ts, acc=None, gyro=None,
+                      dts=None):
+        if acc is not None and len(acc):
+            self._imu_history.append(
+                (ts, np.asarray(acc, np.float32),
+                 np.asarray(gyro, np.float32),
+                 np.asarray(dts, np.float32))
+            )
+            if len(self._imu_history) > 200:
+                self._imu_history.pop(0)
+        self._frame_imu = (acc, gyro, dts)
+        return RgbdSlam.process_frame(self, img, depth_map, ts)

@@ -28,6 +28,10 @@ from . import local_mapping, map_state, map_updates, tracking
 NOT_INITIALIZED = 0
 OK = 1
 LOST = 2
+# Inertial pipelines: visual tracking starved but IMU dead-reckoning is
+# still trusted (Tracking::RECENTLY_LOST, Tracking.cc:2017-2068); decays
+# to LOST after ``time_recently_lost`` seconds without visual recovery.
+RECENTLY_LOST = 3
 
 
 @jax.jit
@@ -73,10 +77,17 @@ class MonoSlam:
         pipelined: bool = True,
         fuse_neighbors: int = 1,
         kf_culling: bool = True,
+        fuse_every: int = 1,
+        stats_every: int = 1,
+        cull_every: int = 1,
         track_schedule: Optional[tuple] = None,
         lean_after_kf: int = 12,
+        ts_jump_threshold: float = 1.0,
         seed: int = 0,
     ):
+        # Input-gap limit before the map is segmented (the reference's
+        # 1.0 s check, Tracking.cc:1861).
+        self.ts_jump_threshold = ts_jump_threshold
         # Tracking pass schedule (see tracking.SCHEDULE_DENSE/LEAN).
         # Default (None) is ADAPTIVE: the dense schedule while the map is
         # young (< lean_after_kf keyframes) or right after recovery — the
@@ -93,6 +104,15 @@ class MonoSlam:
         # LocalMapping.cc:902).
         self.fuse_neighbors = fuse_neighbors
         self.kf_culling = kf_culling
+        # Keyframe-work cadence control: duplicate fusion, point-stats
+        # refresh, and KF culling run every Nth keyframe. The reference's
+        # LocalMapping likewise skips work under load (KF queue pressure
+        # aborts BA, culling runs opportunistically); on the TPU these
+        # stages are the bulk of per-KF device time, so thinning them is
+        # the main throughput lever after tracking itself.
+        self.fuse_every = max(1, fuse_every)
+        self.stats_every = max(1, stats_every)
+        self.cull_every = max(1, cull_every)
         # ``pipelined``: one-frame-lag tracking. Frame i's track is
         # dispatched speculatively (pose prediction computed ON DEVICE
         # from frame i-1's still-in-flight result), its outputs are
@@ -124,6 +144,8 @@ class MonoSlam:
         self.local_ba_iters = local_ba_iters
 
         self.state = NOT_INITIALIZED
+        # fx*baseline for stereo/RGB-D residuals (0 = mono, no stereo rows)
+        self.bf = 0.0
         self.map = map_state.empty_map(self.K_cap, self.N, self.P_cap)
         self.n_kf = 0
         self._n_pts = 0
@@ -147,6 +169,10 @@ class MonoSlam:
         # Tracking.cc:2336-2356 + SaveTrajectoryEuRoC reconstruction).
         self.rel_traj = []
         self.timing = {}
+        # Observability hook: called with an event dict per tracked frame
+        # / keyframe insertion (the pose/marker publisher surface of
+        # src/common.cc:65-118; see utils/obslog.FrameStreamer).
+        self.on_frame = None
 
         self._extract = jax.jit(lambda im: orb.extract(im, self.config))
         # Optional trained retrieval vocabulary ([A,256] +-1; None =
@@ -370,10 +396,11 @@ class MonoSlam:
         In pipelined mode the returned pose is the PREVIOUS frame's (one
         frame of latency); call ``flush()`` (or ``get_trajectory``, which
         flushes) to drain the last in-flight frame."""
+        self._check_ts_jump(ts)
         if self.pipelined:
             return self._process_frame_pipelined(img, ts)
         t0 = time.time()
-        if self.state == OK:
+        if self.state in (OK, RECENTLY_LOST):
             self._predict_motion(ts)
             R_pred = self.vel_R @ self.R_cur
             t_pred = self.vel_R @ self.t_cur + self.vel_t
@@ -395,6 +422,27 @@ class MonoSlam:
         self._tic("frame", t0)
         self.frame_id += 1
         return out
+
+    def _check_ts_jump(self, ts: float):
+        """Timestamp-jump map segmentation (Tracking.cc:1856-1891): an
+        input gap longer than ``ts_jump_threshold`` seconds invalidates
+        the motion model / IMU preintegration chain, so the current map
+        is archived and a fresh one started (CreateMapInAtlas role), or
+        tracking drops to relocalization without an Atlas."""
+        last = getattr(self, "_last_frame_ts", None)
+        self._last_frame_ts = ts
+        if (
+            last is None
+            or self.state not in (OK, RECENTLY_LOST)
+            or ts - last <= self.ts_jump_threshold
+        ):
+            return
+        self.flush()
+        if self.atlas is not None:
+            self._freeze_rel_traj()
+            self.atlas.archive_current(self)  # state -> NOT_INITIALIZED
+        else:
+            self.state = LOST
 
     def _process_frame_pipelined(self, img: np.ndarray, ts: float):
         t0 = time.time()
@@ -683,6 +731,11 @@ class MonoSlam:
             self.map, res.visible_mask, res.found_mask
         )
         self._log_pose(ts)
+        if self.on_frame is not None:
+            self.on_frame(dict(
+                event="frame", ts=ts, Twc=self._pose_mat(),
+                n_inliers=n_inl, state=self.state, n_kf=self.n_kf,
+            ))
 
         if self._need_keyframe(n_inl):
             self._insert_keyframe(feats, ts, res)
@@ -690,15 +743,80 @@ class MonoSlam:
 
     def _need_keyframe(self, n_inl):
         """Simplified NeedNewKeyFrame (Tracking.cc:3103): periodic + weak
-        tracking + capacity guard."""
-        if self.n_kf >= self.K_cap:
+        tracking; at capacity, culled slots are recycled by compaction so
+        K_cap bounds the LIVE keyframe set, not the sequence length."""
+        if self.n_kf >= self.K_cap and not self._make_room():
             return False
         since = self.frame_id - self.last_kf_frame
         return since >= self.kf_every or (n_inl < self.kf_min_inliers and since >= 2)
 
+    def _make_room(self) -> bool:
+        """Recycle culled keyframe slots (compaction); if the live map
+        genuinely fills capacity, force-cull the most redundant keyframe
+        at a relaxed redundancy bar first. Returns True if a slot is
+        free. Failed attempts back off for 10 frames (each attempt costs
+        a device fetch)."""
+        if self.frame_id - getattr(self, "_cap_retry_frame", -999) < 10:
+            return False
+        self._apply_kf_async(force=True)
+        self._drain_pending()
+        n_valid = int(jax.device_get(jnp.sum(self.map.kf_valid)))
+        if n_valid >= self.K_cap:
+            self.map, n_c = map_updates.cull_keyframes(
+                self.map, jnp.asarray(self.n_kf), redundancy=0.5,
+                n_levels=self.config.n_levels,
+            )
+            if int(jax.device_get(n_c)) == 0:
+                self._cap_retry_frame = self.frame_id
+                return False
+        self._compact_kf_slots()
+        ok = self.n_kf < self.K_cap
+        if not ok:
+            self._cap_retry_frame = self.frame_id
+        return ok
+
+    def _compact_kf_slots(self):
+        """Squeeze culled keyframe holes out of the map arrays and remap
+        every host-side slot reference (relative trajectory, loop edges,
+        subclass hooks)."""
+        valid = np.asarray(jax.device_get(self.map.kf_valid))
+        kf_R = np.asarray(jax.device_get(self.map.kf_R))
+        kf_t = np.asarray(jax.device_get(self.map.kf_t))
+        m2, n_valid, order = map_updates.compact_keyframes(self.map)
+        order = np.asarray(jax.device_get(order))
+        n_valid = int(jax.device_get(n_valid))
+        new_of_old = np.full((self.K_cap,), -1, np.int32)
+        new_of_old[order[:n_valid]] = np.arange(n_valid, dtype=np.int32)
+        # Relative-trajectory log: remap surviving references; entries
+        # whose reference keyframe was culled freeze at its final pose.
+        new_rel = []
+        for ts, ref, R_cr, t_cr in self.rel_traj:
+            if 0 <= ref < self.K_cap and valid[ref]:
+                new_rel.append((ts, int(new_of_old[ref]), R_cr, t_cr))
+            else:
+                Rcw = R_cr @ kf_R[ref]
+                tcw = R_cr @ kf_t[ref] + t_cr
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = Rcw.T
+                T[:3, 3] = -Rcw.T @ tcw
+                self.frozen_traj.append((ts, T))
+        self.rel_traj = new_rel
+        self.map = m2
+        self.n_kf = n_valid
+        self._ref_cache = None
+        if self.loop_closer is not None:
+            self.loop_closer.remap_slots(new_of_old)
+        self._compact_hook(order, new_of_old, n_valid)
+
+    def _compact_hook(self, order, new_of_old, n_valid):
+        """Subclass hook: reindex per-slot host state after compaction
+        (the inertial pipeline reorders/merges IMU blocks here)."""
+
     def _insert_keyframe(self, feats, ts, track_res):
         self._apply_kf_async(force=True)
         kf_id = self.n_kf
+        if self.on_frame is not None:
+            self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))
         self.map = map_updates.insert_keyframe(
             self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
             jnp.asarray(self.t_cur), jnp.asarray(ts, jnp.float32),
@@ -717,17 +835,18 @@ class MonoSlam:
             self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1), tri,
             jnp.asarray(self.n_pts), jnp.asarray(self.P_cap - self.n_pts),
         )
-        if self.fuse_neighbors > 0 and kf_id >= 2:
+        if self.fuse_neighbors > 0 and kf_id >= 2 and kf_id % self.fuse_every == 0:
             self.map, _ = map_updates.fuse_in_neighbors(
                 self.map, jnp.asarray(kf_id), self.cam_params,
                 self.width, self.height, n_neighbors=self.fuse_neighbors,
             )
         self._run_local_ba(n_iters=self.local_ba_iters)
         self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
-        self.map = map_updates.refresh_point_stats(
-            self.map, n_levels=self.config.n_levels
-        )
-        if self.kf_culling and kf_id >= 4:
+        if kf_id % self.stats_every == 0:
+            self.map = map_updates.refresh_point_stats(
+                self.map, n_levels=self.config.n_levels
+            )
+        if self.kf_culling and kf_id >= 4 and kf_id % self.cull_every == 0:
             self.map, _ = map_updates.cull_keyframes(
                 self.map, jnp.asarray(self.n_kf), n_levels=self.config.n_levels
             )
@@ -808,7 +927,8 @@ class MonoSlam:
         window_ids = jnp.asarray(np.asarray(ids[: self.W], np.int32))
         fixed_mask = jnp.asarray(np.asarray(fixed[: self.W], bool))
         prob, sel = local_mapping.build_local_ba(
-            self.map, window_ids, fixed_mask, self.cam_params
+            self.map, window_ids, fixed_mask, self.cam_params,
+            bf=jnp.asarray(self.bf, jnp.float32),
         )
         res = ba.bundle_adjust(prob, n_iters=n_iters, row_n=self.N)
         self.map = local_mapping.apply_local_ba(self.map, window_ids, sel, res)

@@ -50,6 +50,12 @@ class BAProblem(NamedTuple):
     inv_sigma2: jnp.ndarray  # [E]
     edge_valid: jnp.ndarray  # [E] bool
     cam_params: jnp.ndarray  # [9] shared pinhole
+    # Stereo observations: right-image x-coordinate per edge (-1 = mono)
+    # and fx*baseline. Edges with ur >= 0 contribute the 3-dim
+    # (u, v, u_r) residual of the reference's EdgeStereo
+    # (G2oTypes.h:425, Optimizer.cc:1260) with u_r_pred = u - bf/z.
+    ur: jnp.ndarray  # [E]
+    bf: jnp.ndarray  # [] scalar
 
 
 class BAResult(NamedTuple):
@@ -91,24 +97,33 @@ def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return cof * inv_det[..., None, None]
 
 
-def _edge_res_jac(R, t, X, uv, cam_params):
+def _edge_res_jac(R, t, X, uv, ur, bf, cam_params):
+    """3-dim (u, v, u_r) residual/Jacobians; the u_r row is zeroed for
+    monocular edges (ur < 0), which reduces exactly to the 2-dim case."""
     Xc = jnp.einsum("ij,j->i", R, X) + t
     pred = cameras.pinhole_project_nodist(cam_params, Xc)
-    r = pred - uv
     Jproj = cameras.pinhole_project_jac(cam_params, Xc)  # [2,3]
-    Jc = Jproj @ jnp.concatenate([jnp.eye(3, dtype=X.dtype), -lie.hat(Xc)], axis=-1)
-    Jp = Jproj @ R
+    has_st = (ur >= 0).astype(X.dtype)
+    z = Xc[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    ur_pred = pred[0] - bf / z_safe
+    r = jnp.concatenate([pred - uv, (has_st * (ur_pred - ur))[None]])
+    # d(u_r)/dXc = d(u)/dXc + (bf/z^2) e_z
+    Jur = Jproj[0] + jnp.asarray([0.0, 0.0, 1.0], X.dtype) * (bf / z_safe**2)
+    Jproj3 = jnp.concatenate([Jproj, (has_st * Jur)[None]], axis=0)  # [3,3]
+    Jc = Jproj3 @ jnp.concatenate([jnp.eye(3, dtype=X.dtype), -lie.hat(Xc)], axis=-1)
+    Jp = Jproj3 @ R
     return r, Jc, Jp
 
 
-_vedge = jax.vmap(_edge_res_jac, in_axes=(0, 0, 0, 0, None))
+_vedge = jax.vmap(_edge_res_jac, in_axes=(0, 0, 0, 0, 0, None, None))
 
 
 def _gather_edges(prob: BAProblem, R, t, X):
     Re = R[prob.cam_idx]
     te = t[prob.cam_idx]
     Xe = X[prob.pt_idx]
-    return _vedge(Re, te, Xe, prob.uv, prob.cam_params)
+    return _vedge(Re, te, Xe, prob.uv, prob.ur, prob.bf, prob.cam_params)
 
 
 def _robust_cost(chi2, w_valid, delta2):
@@ -140,7 +155,9 @@ def bundle_adjust(
     K = prob.R.shape[0]
     P = prob.X.shape[0]
     dtype = prob.R.dtype
-    delta2 = chi2_th
+    # Per-edge chi2 threshold: 3-DoF stereo edges use the wider gate
+    # (Optimizer.cc:1260 thHuberStereo).
+    delta2 = jnp.where(prob.ur >= 0, robust.CHI2_STEREO, chi2_th)
     E = prob.cam_idx.shape[0]
     assert row_n is None or E == K * row_n, (
         "row_n layout requires one row of row_n edges per camera"
@@ -172,7 +189,7 @@ def bundle_adjust(
 
     def step(carry, _):
         R, t, X, lam, cost = carry
-        r, Jc, Jp = _gather_edges(prob, R, t, X)  # [E,2],[E,2,6],[E,2,3]
+        r, Jc, Jp = _gather_edges(prob, R, t, X)  # [E,3],[E,3,6],[E,3,3]
         chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
         w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
         w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)  # [E]
@@ -185,11 +202,11 @@ def bundle_adjust(
             # blocks and the camera-point coupling are gathered per
             # (camera, landmark) from per-edge outer products through
             # inv_feat (invalid edges carry w = 0 AND obs_kp = False).
-            rw = r.reshape(K, row_n, 2)
-            Jcw = Jc.reshape(K, row_n, 2, 6)
-            Jpw = Jp.reshape(K, row_n, 2, 3)
-            JcWw = JcW.reshape(K, row_n, 2, 6)
-            JpWw = JpW.reshape(K, row_n, 2, 3)
+            rw = r.reshape(K, row_n, 3)
+            Jcw = Jc.reshape(K, row_n, 3, 6)
+            Jpw = Jp.reshape(K, row_n, 3, 3)
+            JcWw = JcW.reshape(K, row_n, 3, 6)
+            JpWw = JpW.reshape(K, row_n, 3, 3)
             Hcc = jnp.einsum("wnia,wnib->wab", JcWw, Jcw)
             gc = -jnp.einsum("wnia,wni->wa", JcWw, rw)
             HppE = jnp.einsum("wnia,wnib->wnab", JpWw, Jpw).reshape(K, row_n, 9)
@@ -278,7 +295,7 @@ def bundle_adjust(
         length=n_iters,
     )
     chi2 = chi2_of(R, t, X)
-    inlier = prob.edge_valid & (chi2 <= chi2_th)
+    inlier = prob.edge_valid & (chi2 <= delta2)
     return BAResult(
         R=R, t=t, X=X, chi2=chi2, inlier=inlier, cost=cost,
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),

@@ -54,12 +54,20 @@ def _proj_and_jac(cam_model: str, cam_params, Xc):
     return pred, Jproj
 
 
-def _edge_res_jac(R, t, X, uv, cam_params, cam_model):
+def _edge_res_jac(R, t, X, uv, ur, bf, cam_params, cam_model):
+    """(u, v, u_r) residual like ba._edge_res_jac; the stereo row is
+    active only for pinhole edges with ur >= 0."""
     Xc = jnp.einsum("ij,j->i", R, X) + t
     pred, Jproj = _proj_and_jac(cam_model, cam_params, Xc)
-    r = pred - uv
-    Jc = Jproj @ jnp.concatenate([jnp.eye(3, dtype=X.dtype), -lie.hat(Xc)], axis=-1)
-    Jp = Jproj @ R
+    has_st = (ur >= 0).astype(X.dtype) if cam_model != "kb8" else jnp.zeros((), X.dtype)
+    z = Xc[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    ur_pred = pred[0] - bf / z_safe
+    r = jnp.concatenate([pred - uv, (has_st * (ur_pred - ur))[None]])
+    Jur = Jproj[0] + jnp.asarray([0.0, 0.0, 1.0], X.dtype) * (bf / z_safe**2)
+    Jproj3 = jnp.concatenate([Jproj, (has_st * Jur)[None]], axis=0)
+    Jc = Jproj3 @ jnp.concatenate([jnp.eye(3, dtype=X.dtype), -lie.hat(Xc)], axis=-1)
+    Jp = Jproj3 @ R
     return r, Jc, Jp
 
 
@@ -82,14 +90,19 @@ def bundle_adjust_pcg(
     K = prob.R.shape[0]
     P = prob.X.shape[0]
     dtype = prob.R.dtype
-    delta2 = chi2_th
+    # Per-edge threshold: stereo (u, v, u_r) edges get the 3-DoF gate.
+    delta2 = jnp.where(prob.ur >= 0, 7.815, chi2_th)
 
     vedge = jax.vmap(
-        lambda R, t, X, uv: _edge_res_jac(R, t, X, uv, prob.cam_params, cam_model)
+        lambda R, t, X, uv, ur: _edge_res_jac(
+            R, t, X, uv, ur, prob.bf, prob.cam_params, cam_model
+        )
     )
 
     def gather_edges(R, t, X):
-        return vedge(R[prob.cam_idx], t[prob.cam_idx], X[prob.pt_idx], prob.uv)
+        return vedge(
+            R[prob.cam_idx], t[prob.cam_idx], X[prob.pt_idx], prob.uv, prob.ur
+        )
 
     def chi2_of(R, t, X):
         r, _, _ = gather_edges(R, t, X)
@@ -221,7 +234,7 @@ def bundle_adjust_pcg(
         length=n_iters,
     )
     chi2 = chi2_of(R, t, X)
-    inlier = prob.edge_valid & (chi2 <= chi2_th)
+    inlier = prob.edge_valid & (chi2 <= delta2)
     return BAResult(
         R=R, t=t, X=X, chi2=chi2, inlier=inlier, cost=cost,
         n_inliers=jnp.sum(inlier.astype(jnp.int32)),

@@ -90,16 +90,24 @@ def so3_log(R):
     # Estimate sin(theta) from |vee| so that dividing vee by it is
     # self-consistent (arccos(trace) alone is catastrophically noisy near
     # pi: d(arccos)/d(cos) = 1/sin blows up the magnitude).
-    sin_t = 0.5 * jnp.linalg.norm(vee_part, axis=-1)
-    theta = jnp.arctan2(sin_t, cos_t)
+    #
+    # AD-safety at the identity: ||vee|| has a NaN derivative at 0, and a
+    # zero-residual pose-graph edge evaluates its Jacobian EXACTLY there
+    # (measurements built from current poses), so the small-angle branch
+    # must not reference theta at all. k -> 1/2 with O(theta^2) ~ 1e-9
+    # relative error at the 5e-6 rad switch point — below float32 eps.
+    n2 = jnp.sum(vee_part * vee_part, axis=-1)
+    # ||vee|| is also ~0 at theta ~ pi; cos(theta) disambiguates.
+    small = (n2 < 1e-10) & (cos_t > 0.0)  # 2 sin(theta) < 1e-5, theta ~ 0
+    safe_n2 = jnp.where(small, 1.0, n2)
+    sin_t = 0.5 * jnp.sqrt(safe_n2)  # dummy 0.5 in the small branch
+    theta = jnp.where(
+        small, 0.0, jnp.arctan2(sin_t, cos_t)
+    )
 
-    # Generic branch: phi = theta / (2 sin theta) * vee(R - R^T), Taylor near 0.
+    # Generic branch: phi = theta / (2 sin theta) * vee(R - R^T).
     near_pi = theta > 3.0  # axis direction of vee too noise-dominated beyond
-    small = theta < 1e-4
-    safe_sin = jnp.where(small | near_pi, 1.0, sin_t)
-    k_exact = theta / (2.0 * safe_sin)
-    k_taylor = 0.5 + theta * theta / 12.0 + 7.0 * theta**4 / 720.0
-    k = jnp.where(small, k_taylor, k_exact)
+    k = jnp.where(small, 0.5, theta / (2.0 * sin_t))
     phi_generic = k[..., None] * vee_part
 
     # Near-pi branch: axis from the largest diagonal of (R + I).

@@ -125,3 +125,93 @@ def pose_optimization(
     return PoseOptResult(
         R=R, t=t, inlier=inlier, n_inliers=jnp.sum(inlier.astype(jnp.int32)), chi2=chi2
     )
+
+
+def _residual_jac_stereo(R, t, Xw, uv, ur, bf, cam_params):
+    """(u, v, u_r) residual [3] and Jacobian [3, 6] — the reference's
+    EdgeStereoSE3ProjectXYZOnlyPose (G2oTypes.h:466); the u_r row is
+    masked off for monocular edges (ur < 0)."""
+    Xc = R @ Xw + t
+    pred = cameras.pinhole_project_nodist(cam_params, Xc)
+    Jproj = cameras.pinhole_project_jac(cam_params, Xc)  # [2,3]
+    has_st = (ur >= 0).astype(Xc.dtype)
+    z_safe = jnp.where(jnp.abs(Xc[2]) < 1e-6, 1e-6, Xc[2])
+    r = jnp.concatenate(
+        [pred - uv, (has_st * (pred[0] - bf / z_safe - ur))[None]]
+    )
+    Jur = Jproj[0] + jnp.asarray([0.0, 0.0, 1.0], Xc.dtype) * (bf / z_safe**2)
+    Jproj3 = jnp.concatenate([Jproj, (has_st * Jur)[None]], axis=0)
+    JX = jnp.concatenate([jnp.eye(3, dtype=Xc.dtype), -lie.hat(Xc)], axis=-1)
+    return r, Jproj3 @ JX
+
+
+_vres_st = jax.vmap(
+    _residual_jac_stereo, in_axes=(None, None, 0, 0, 0, None, None)
+)
+
+
+def pose_optimization_stereo(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    Xw: jnp.ndarray,
+    uv: jnp.ndarray,
+    ur: jnp.ndarray,  # [N] right-x coords, -1 = mono edge
+    bf: jnp.ndarray,  # fx * baseline
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    rounds: int = 2,
+    iters_per_round: int = 6,
+) -> PoseOptResult:
+    """Motion-only pose optimization over mixed mono/stereo edges
+    (PoseOptimization's stereo branch, Optimizer.cc:816/:900): stereo
+    edges add the disparity residual, tightening depth/translation
+    observability; chi2 gates are per-DoF (5.991 mono / 7.815 stereo)."""
+    dtype = R0.dtype
+    delta2 = jnp.where(ur >= 0, robust.CHI2_STEREO, robust.CHI2_MONO)
+
+    def compute_quad(R, t, active):
+        r, J = _vres_st(R, t, Xw, uv, ur, bf, cam_params)  # [N,3],[N,3,6]
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        w_rob = robust.huber_weight(chi2, delta2)
+        w = inv_sigma2 * w_rob * active.astype(dtype)
+        H = jnp.einsum("nia,n,nib->ab", J, w, J)
+        g = -jnp.einsum("nia,n,ni->a", J, w, r)
+        cost = jnp.sum(jnp.where(active, jnp.minimum(chi2, delta2), 0.0))
+        return H, g, cost, chi2
+
+    def lm_round(carry, _):
+        R, t, active, lam = carry
+
+        def lm_step(i, st):
+            R, t, lam = st
+            H, g, cost, _ = compute_quad(R, t, active)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=dtype)
+            delta = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hd, lower=True), g
+            )
+            dR, dt = lie.se3_exp(delta)
+            R_new = lie.normalize_rotation(dR @ R)
+            t_new = dR @ t + dt
+            _, _, cost_new, _ = compute_quad(R_new, t_new, active)
+            better = cost_new < cost
+            R = jnp.where(better, R_new, R)
+            t = jnp.where(better, t_new, t)
+            lam = jnp.where(
+                better, jnp.maximum(lam * 0.5, 1e-6), jnp.minimum(lam * 4.0, 1e4)
+            )
+            return (R, t, lam)
+
+        R, t, lam = jax.lax.fori_loop(0, iters_per_round, lm_step, (R, t, lam))
+        _, _, _, chi2 = compute_quad(R, t, valid)
+        active = valid & (chi2 <= delta2)
+        return (R, t, active, lam), None
+
+    init = (R0, t0, valid, jnp.asarray(1e-2, dtype))
+    (R, t, active, _), _ = jax.lax.scan(lm_round, init, None, length=rounds)
+    _, _, _, chi2 = compute_quad(R, t, valid)
+    inlier = valid & (chi2 <= delta2)
+    return PoseOptResult(
+        R=R, t=t, inlier=inlier,
+        n_inliers=jnp.sum(inlier.astype(jnp.int32)), chi2=chi2,
+    )

@@ -130,6 +130,55 @@ def kf_signatures(
 
 
 @partial(jax.jit, static_argnames=("n_best",))
+def detect_candidates_grouped(
+    query_sig: jnp.ndarray,
+    kf_sigs: jnp.ndarray,
+    cov: jnp.ndarray,  # [K,K] covisibility weights
+    kf_valid: jnp.ndarray,
+    exclude: jnp.ndarray,
+    min_common_score: float = 0.0,
+    n_best: int = 3,
+    cov_min: int = 15,
+):
+    """Covisibility-group score accumulation — the contract of
+    ``KeyFrameDatabase::DetectNBestCandidates`` (orb_slam3/src/
+    KeyFrameDatabase.cc:604-733): a candidate's score is the SUM of the
+    query similarity over its covisible group (weight >= ``cov_min``, the
+    reference's GetBestCovisibilityKeyFrames set), groups are ranked by
+    accumulated score, and each selected group is represented by its
+    best-scoring individual member. One [K, K] masked matmul replaces the
+    inverted-file walk + per-group accumulation loops.
+
+    Returns (ids [n_best], acc_scores [n_best]); ids are -1 where the
+    group's best member does not clear ``min_common_score``.
+    """
+    K = kf_sigs.shape[0]
+    scores = score_against(query_sig, kf_sigs)
+    ok = kf_valid & ~exclude
+    s_ok = jnp.where(ok, scores, 0.0)
+    # Group = self + the 10 best covisible neighbors (the reference's
+    # GetBestCovisibilityKeyFrames(10) accumulation set) — capping the
+    # group bounds the size bias on self-similar scenes where every
+    # signature scores high against everything.
+    n_top = min(10, K - 1)
+    w_top, i_top = jax.lax.top_k(jnp.where(cov >= cov_min, cov, -1), n_top)
+    group = jnp.zeros((K, K), bool)
+    rows = jnp.repeat(jnp.arange(K), n_top)
+    group = group.at[rows, i_top.reshape(-1)].set(
+        (w_top.reshape(-1) > 0)
+    )
+    group = group | jnp.eye(K, dtype=bool)
+    acc = group.astype(s_ok.dtype) @ s_ok
+    acc = jnp.where(ok, acc, -1.0)
+    top_acc, top_ids = jax.lax.top_k(acc, n_best)
+    member = jnp.where(group[top_ids] & ok[None, :], scores[None, :], -1.0)
+    best_member = jnp.argmax(member, axis=1).astype(jnp.int32)
+    best_score = jnp.max(member, axis=1)
+    good = (top_acc > 0) & (best_score > min_common_score)
+    return jnp.where(good, best_member, -1), top_acc
+
+
+@partial(jax.jit, static_argnames=("n_best",))
 def detect_candidates(
     query_sig: jnp.ndarray,
     kf_sigs: jnp.ndarray,

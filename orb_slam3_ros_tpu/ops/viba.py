@@ -868,3 +868,161 @@ def cam_from_body(R_wb, p_wb, R_bc, t_bc):
     R_cw = jnp.einsum("ji,...jk->...ik", R_bc, R_bw)
     t_cw = jnp.einsum("ji,...j->...i", R_bc, t_bw - t_bc)
     return R_cw, t_cw
+
+
+# ---------------------------------------------------------------------------
+# VI motion-only pose optimization with marginalized prior — the roles of
+# Optimizer::PoseInertialOptimizationLastKeyFrame (Optimizer.cc:4636) and
+# PoseInertialOptimizationLastFrame (:5020) with ConstraintPoseImu /
+# EdgePriorPoseImu (G2oTypes.h:706-767). One 15-dof state (frame body
+# pose + velocity + biases) optimized against: masked mono reprojection
+# edges, the 9-dim preintegration factor to a FIXED anchor state (last
+# keyframe or last frame), 6-dim bias random-walk edges to the anchor
+# biases, and an optional 15-dim marginal prior carried from the previous
+# frame's solve. Returns the recovered 15x15 Hessian so the caller can
+# propagate the marginal (the reference builds ConstraintPoseImu from the
+# recovered H, Optimizer.cc:4990-5010).
+# ---------------------------------------------------------------------------
+
+
+class PoseInertialResult(NamedTuple):
+    R_wb: jnp.ndarray  # [3,3] optimized body pose
+    p_wb: jnp.ndarray  # [3]
+    v_w: jnp.ndarray  # [3]
+    bg: jnp.ndarray  # [3]
+    ba: jnp.ndarray  # [3]
+    inlier: jnp.ndarray  # [N] visual edges' final chi2 classification
+    n_inliers: jnp.ndarray  # [] int32
+    H: jnp.ndarray  # [15,15] recovered information at the optimum
+    cost: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("rounds", "iters_per_round"))
+def pose_inertial_optimization(
+    R_wb0: jnp.ndarray,
+    p_wb0: jnp.ndarray,
+    v0: jnp.ndarray,
+    bg0: jnp.ndarray,
+    ba0: jnp.ndarray,
+    Xw: jnp.ndarray,  # [N,3] matched landmark positions
+    uv: jnp.ndarray,  # [N,2] observations
+    inv_sigma2: jnp.ndarray,  # [N]
+    valid: jnp.ndarray,  # [N]
+    R_anc: jnp.ndarray,  # anchor (last KF / last frame) body state, FIXED
+    p_anc: jnp.ndarray,
+    v_anc: jnp.ndarray,
+    bg_anc: jnp.ndarray,
+    ba_anc: jnp.ndarray,
+    preint: imu.Preintegrated,  # anchor -> frame
+    prior_H: jnp.ndarray,  # [15,15] marginal information (zeros = no prior)
+    R_pr: jnp.ndarray,  # prior mean state
+    p_pr: jnp.ndarray,
+    v_pr: jnp.ndarray,
+    bg_pr: jnp.ndarray,
+    ba_pr: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    R_bc: jnp.ndarray,
+    t_bc: jnp.ndarray,
+    rounds: int = 3,
+    iters_per_round: int = 6,
+    chi2_th: float = 5.991,
+) -> PoseInertialResult:
+    dtype = R_wb0.dtype
+    N = Xw.shape[0]
+    z15 = jnp.zeros((15,), dtype)
+
+    # Edge information matrices from the preintegration covariance
+    # (EdgeInertial/EdgeGyroRW/EdgeAccRW info blocks, G2oTypes.h:509).
+    info_i = _info_from_cov(preint.C, slice(0, 9))
+    info_bg = _info_from_cov(preint.C, slice(9, 12))
+    info_ba = _info_from_cov(preint.C, slice(12, 15))
+
+    vres = jax.vmap(
+        _visual_residual,
+        in_axes=(None, None, None, None, 0, 0, None, None, None),
+    )
+
+    def residuals(eps, R, p, v, bg, ba):
+        R2, p2, v2, bg2, ba2 = _apply_pert(R, p, v, bg, ba, eps)
+        rv = vres(
+            eps[0:6], jnp.zeros((3,), dtype), R, p, Xw, uv,
+            cam_params, R_bc, t_bc,
+        )  # [N,2]
+        b_f = jnp.concatenate([bg2, ba2])
+        ri = imu.inertial_residual(
+            R_anc, p_anc, v_anc, b_f, R2, p2, v2, preint
+        )
+        rb = jnp.concatenate([bg2 - bg_anc, ba2 - ba_anc])
+        rp = jnp.concatenate([
+            lie.so3_log(jnp.einsum("ji,jk->ik", R_pr, R2)),
+            p2 - p_pr, v2 - v_pr, bg2 - bg_pr, ba2 - ba_pr,
+        ])
+        return rv, ri, rb, rp
+
+    def quad(R, p, v, bg, ba, active):
+        rv, ri, rb, rp = residuals(z15, R, p, v, bg, ba)
+        Jv, Ji, Jb, Jp = jax.jacfwd(
+            lambda e: residuals(e, R, p, v, bg, ba)
+        )(z15)
+        chi2 = jnp.sum(rv * rv, axis=-1) * inv_sigma2
+        w_rob = robust.huber_weight(chi2, chi2_th)
+        w = inv_sigma2 * w_rob * active.astype(dtype)
+        H = jnp.einsum("nia,n,nib->ab", Jv, w, Jv)
+        g = -jnp.einsum("nia,n,ni->a", Jv, w, rv)
+        H = H + Ji.T @ info_i @ Ji
+        g = g - Ji.T @ info_i @ ri
+        info_b = jax.scipy.linalg.block_diag(info_bg, info_ba)
+        H = H + Jb.T @ info_b @ Jb
+        g = g - Jb.T @ info_b @ rb
+        H = H + Jp.T @ prior_H @ Jp
+        g = g - Jp.T @ prior_H @ rp
+        cost = (
+            jnp.sum(jnp.where(active, jnp.minimum(chi2, chi2_th), 0.0))
+            + ri @ info_i @ ri
+            + rb @ info_b @ rb
+            + rp @ prior_H @ rp
+        )
+        return H, g, cost, chi2
+
+    def lm_round(carry, _):
+        R, p, v, bg, ba, active, lam = carry
+
+        def lm_step(i, st):
+            R, p, v, bg, ba, lam = st
+            H, g, cost, _ = quad(R, p, v, bg, ba, active)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(15, dtype=dtype)
+            delta = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hd, lower=True), g
+            )
+            R2, p2, v2, bg2, ba2 = _apply_pert(R, p, v, bg, ba, delta)
+            R2 = lie.normalize_rotation(R2)
+            _, _, cost_new, _ = quad(R2, p2, v2, bg2, ba2, active)
+            better = cost_new < cost
+            R = jnp.where(better, R2, R)
+            p = jnp.where(better, p2, p)
+            v = jnp.where(better, v2, v)
+            bg = jnp.where(better, bg2, bg)
+            ba = jnp.where(better, ba2, ba)
+            lam = jnp.where(
+                better, jnp.maximum(lam * 0.5, 1e-6), jnp.minimum(lam * 4.0, 1e4)
+            )
+            return (R, p, v, bg, ba, lam)
+
+        R, p, v, bg, ba, lam = jax.lax.fori_loop(
+            0, iters_per_round, lm_step, (R, p, v, bg, ba, lam)
+        )
+        _, _, _, chi2 = quad(R, p, v, bg, ba, valid)
+        active = valid & (chi2 <= chi2_th)
+        return (R, p, v, bg, ba, active, lam), None
+
+    init = (R_wb0, p_wb0, v0, bg0, ba0, valid, jnp.asarray(1e-2, dtype))
+    (R, p, v, bg, ba, active, _), _ = jax.lax.scan(
+        lm_round, init, None, length=rounds
+    )
+    H, _, cost, chi2 = quad(R, p, v, bg, ba, active)
+    inlier = valid & (chi2 <= chi2_th)
+    return PoseInertialResult(
+        R_wb=R, p_wb=p, v_w=v, bg=bg, ba=ba,
+        inlier=inlier, n_inliers=jnp.sum(inlier.astype(jnp.int32)),
+        H=H, cost=cost,
+    )

@@ -52,6 +52,8 @@ def shard_problem(prob: ba.BAProblem, mesh: Mesh) -> ba.BAProblem:
         inv_sigma2=put(prob.inv_sigma2, P("obs")),
         edge_valid=put(prob.edge_valid, P("obs")),
         cam_params=put(prob.cam_params, P()),
+        ur=put(prob.ur, P("obs")),
+        bf=put(prob.bf, P()),
     )
 
 

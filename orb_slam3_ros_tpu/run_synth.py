@@ -36,6 +36,12 @@ def main(argv=None):
                          "ROS callback-thread topology)")
     ap.add_argument("--save-traj", default=None, help="write TUM-format trajectory")
     ap.add_argument("--json", action="store_true", help="print one summary JSON line")
+    ap.add_argument("--stream", default=None,
+                    help="write per-frame pose/state events to this JSONL "
+                         "file (headless counterpart of the ROS pose/"
+                         "marker publishers)")
+    ap.add_argument("--verbose", type=int, default=0,
+                    help="log verbosity 0-3 (Verbose::PrintMess role)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -59,6 +65,16 @@ def main(argv=None):
         n_features=args.features, max_keyframes=64, max_points=8192,
         enable_loop_closing=args.loop_closing, track_window=args.track_window,
     )
+    streamer = None
+    if args.verbose:
+        from orb_slam3_ros_tpu.utils import obslog
+
+        obslog.set_level(args.verbose)
+    if args.stream:
+        from orb_slam3_ros_tpu.utils.obslog import FrameStreamer
+
+        streamer = FrameStreamer(args.stream)
+        slam.on_frame = streamer
     t_start = time.time()
     tracked = 0
     if args.native_feed:
@@ -92,6 +108,9 @@ def main(argv=None):
         for i in range(args.frames):
             T = slam.process_frame(seq.images[i], float(seq.timestamps[i]))
             tracked += T is not None
+    if streamer is not None:
+        slam.flush()
+        streamer.close()
     wall = time.time() - t_start
 
     ts = np.asarray([t for t, _ in slam.trajectory])

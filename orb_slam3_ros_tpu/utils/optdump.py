@@ -279,27 +279,65 @@ def reoptimize(
     four_dof: bool = False,
     fix_first: bool = True,
     loop_weight: float = 5.0,
+    cov_min: int = 100,
 ):
     """Re-solve the dumped essential-graph problem with the TPU
     pose-graph optimizer (the 3DCERES/loop_optimization.cpp workflow:
     parse dump -> rebuild vertices/edges -> optimize -> before/after).
 
+    Strong covisibility pairs from the dump's covisibility section
+    (weight >= ``cov_min``, the reference's minFeat=100 covisibility
+    edges, Optimizer.cc:1711) are added as extra relative-pose edges with
+    measurements computed from the BEFORE poses, matching the live
+    system's essential-graph assembly.
+
     Returns (R_new [K,3,3], t_new [K,3], s_new [K], cost)."""
     import jax.numpy as jnp
 
-    from ..ops import pgo
+    from ..ops import lie, pgo
 
     K = len(dump.kf_id)
     id_to_idx = {int(v): k for k, v in enumerate(dump.kf_id)}
     e_i = np.asarray([id_to_idx[int(v)] for v in dump.e_i], np.int32)
     e_j = np.asarray([id_to_idx[int(v)] for v in dump.e_j], np.int32)
     w = np.where(dump.e_kind == 1, loop_weight, 1.0).astype(np.float32)
+    e_R = dump.e_R.astype(np.float32)
+    e_t = dump.e_t.astype(np.float32)
+    e_s = dump.e_s.astype(np.float32)
+    # --- covisibility edges (w >= cov_min), excluding pairs already in
+    # the essential-graph section ---
+    if len(dump.cov_i):
+        have = {(int(a), int(b)) for a, b in zip(e_i, e_j)}
+        have |= {(b, a) for a, b in have}
+        ci = np.asarray([id_to_idx[int(v)] for v in dump.cov_i], np.int32)
+        cj = np.asarray([id_to_idx[int(v)] for v in dump.cov_j], np.int32)
+        keep = (dump.cov_w >= cov_min) & np.asarray(
+            [(int(a), int(b)) not in have for a, b in zip(ci, cj)]
+        )
+        if keep.any():
+            ci, cj = ci[keep], cj[keep]
+            ones = jnp.ones((len(ci),), jnp.float32)
+            Rinv, tinv, sinv = lie.sim3_inv(
+                jnp.asarray(dump.kf_R[ci].astype(np.float32)),
+                jnp.asarray(dump.kf_t[ci].astype(np.float32)), ones,
+            )
+            Rm, tm, sm = lie.sim3_mul(
+                jnp.asarray(dump.kf_R[cj].astype(np.float32)),
+                jnp.asarray(dump.kf_t[cj].astype(np.float32)), ones,
+                Rinv, tinv, sinv,
+            )
+            e_i = np.concatenate([e_i, ci])
+            e_j = np.concatenate([e_j, cj])
+            e_R = np.concatenate([e_R, np.asarray(Rm)])
+            e_t = np.concatenate([e_t, np.asarray(tm)])
+            e_s = np.concatenate([e_s, np.asarray(sm)])
+            w = np.concatenate([w, np.ones((len(ci),), np.float32)])
     fixed = np.zeros((K,), bool)
     if fix_first:
         fixed[0] = True
     # loop edges' endpoints anchor the graph like the reference fixes
     # the loop keyframe (Optimizer.cc:1535 pLoopKF fixed)
-    for n in range(len(e_i)):
+    for n in range(len(dump.e_kind)):
         if dump.e_kind[n] == 1:
             fixed[e_j[n]] = True
     prob = pgo.PGOProblem(
@@ -310,9 +348,9 @@ def reoptimize(
         kf_valid=jnp.ones((K,), bool),
         e_i=jnp.asarray(e_i),
         e_j=jnp.asarray(e_j),
-        e_R=jnp.asarray(dump.e_R.astype(np.float32)),
-        e_t=jnp.asarray(dump.e_t.astype(np.float32)),
-        e_s=jnp.asarray(dump.e_s.astype(np.float32)),
+        e_R=jnp.asarray(e_R),
+        e_t=jnp.asarray(e_t),
+        e_s=jnp.asarray(e_s),
         e_valid=jnp.ones((len(e_i),), bool),
         e_weight=jnp.asarray(w),
     )

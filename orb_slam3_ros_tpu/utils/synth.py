@@ -307,6 +307,7 @@ def make_vi_sequence(
     noise_g: float = 0.0,
     noise_a: float = 0.0,
     stereo_baseline: float = 0.0,
+    with_depth: bool = False,
 ):
     """Render frames + exact IMU for the analytic trajectory.
 
@@ -333,11 +334,14 @@ def make_vi_sequence(
         [f, f, (width - 1) / 2.0, (height - 1) / 2.0, 0, 0, 0, 0, 0], np.float32
     )
     ts = np.arange(n_frames) * frame_dt
-    imgs, Rs, ps, imgs_r = [], [], [], []
+    imgs, Rs, ps, imgs_r, deps = [], [], [], [], []
     for i in range(n_frames):
         R, p = pose_jit(jnp.asarray(ts[i]))
-        imgs.append(np.asarray(render(scene, R, p, jnp.asarray(cam),
-                                      height=height, width=width)[0]))
+        img_i, dep_i = render(scene, R, p, jnp.asarray(cam),
+                              height=height, width=width)
+        imgs.append(np.asarray(img_i))
+        if with_depth:
+            deps.append(np.asarray(dep_i))
         Rs.append(np.asarray(R))
         ps.append(np.asarray(p))
         if stereo_baseline > 0:
@@ -368,7 +372,8 @@ def make_vi_sequence(
             dts[i, k] = dt_imu
     seq = SynthSequence(
         images=np.stack(imgs), R_wc=np.stack(Rs), t_wc=np.stack(ps),
-        timestamps=ts, cam_params=cam, depths=None,
+        timestamps=ts, cam_params=cam,
+        depths=np.stack(deps) if with_depth else None,
         images_right=np.stack(imgs_r) if stereo_baseline > 0 else None,
         baseline=stereo_baseline,
     )

@@ -1,0 +1,252 @@
+"""Essential-graph PGO vs the reduced chain PGO on a drifted loop.
+
+The reference's OptimizeEssentialGraph (Optimizer.cc:1504-1929) uses
+spanning-tree + strong-covisibility (w>=100) + past loop edges and fixes
+only the loop keyframe; the round-1 chain PGO used sequential edges only
+and fixed both KF0 and the candidate. This test builds a synthetic map
+with hand-authored observations (so covisibility is exact), integrates
+drifted odometry around a circle, and checks that the essential-graph
+version distributes the loop correction strictly better than the chain.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_ros_tpu.models import map_state as ms
+from orb_slam3_ros_tpu.models.loop_closing import (
+    _essential_graph_pgo,
+    _pgo_over_chain,
+)
+from orb_slam3_ros_tpu.ops import lie, sim3solver
+
+BLOCK = 110  # points per block -> covisibility weights 220 (adjacent) / 110 (skip-2)
+SPAN = 3  # each block observed by SPAN consecutive keyframes
+
+
+def _gt_circle(K, radius=2.0):
+    R_gt, t_gt, C_gt = [], [], []
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        Rwk = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, th], jnp.float32)))
+        pw = np.array([radius * np.cos(th), radius * np.sin(th), 0], np.float32)
+        R_gt.append(Rwk.T)
+        t_gt.append(-Rwk.T @ pw)
+        C_gt.append(pw)
+    return np.stack(R_gt), np.stack(t_gt), np.stack(C_gt)
+
+
+def _drifted(R_gt, t_gt, rng, drift_rot=0.02, drift_trans=0.04,
+             drift_scale=1.03, boost_until=0, boost=1.0):
+    """Integrate noisy odometry (with a multiplicative step-length drift
+    emulating mono scale drift) from the GT relative poses. Steps before
+    ``boost_until`` get their noise multiplied by ``boost`` (drift
+    concentrated early in the sequence)."""
+    K = len(R_gt)
+    R_est, t_est = [R_gt[0]], [t_gt[0]]
+    scale = 1.0
+    for k in range(K - 1):
+        # GT relative T_{k+1,k}
+        Rm = R_gt[k + 1] @ R_gt[k].T
+        tm = t_gt[k + 1] - Rm @ t_gt[k]
+        b = boost if k < boost_until else 1.0
+        scale *= drift_scale ** b
+        dR = np.asarray(
+            lie.so3_exp(jnp.asarray(
+                rng.normal(size=3).astype(np.float32) * drift_rot * b
+            ))
+        )
+        Rm_n = dR @ Rm
+        tm_n = scale * (tm + rng.normal(size=3).astype(np.float32) * drift_trans * b)
+        R_est.append(Rm_n @ R_est[k])
+        t_est.append(Rm_n @ t_est[k] + tm_n)
+    return np.stack(R_est), np.stack(t_est)
+
+
+def make_drifted_loop_map(rng, K=18, boost_until=0, boost=1.0):
+    """MapState with hand-authored observations: block b of BLOCK points is
+    observed by keyframes b..b+SPAN-1, so consecutive keyframes share
+    2*BLOCK=220 points (spanning-tree parents) and skip-2 pairs share
+    BLOCK=110 (strong covisibility edges)."""
+    N = SPAN * BLOCK
+    n_blocks = K - (SPAN - 1)
+    P = n_blocks * BLOCK
+    R_gt, t_gt, C_gt = _gt_circle(K)
+    R_est, t_est = _drifted(
+        R_gt, t_gt, rng, boost_until=boost_until, boost=boost
+    )
+
+    m = ms.empty_map(K, N, P)
+    kf_obs = np.full((K, N), -1, np.int32)
+    feat_valid = np.zeros((K, N), bool)
+    for k in range(K):
+        for g in range(SPAN):  # group g holds block k-g
+            b = k - g
+            if 0 <= b < n_blocks:
+                sl = slice(g * BLOCK, (g + 1) * BLOCK)
+                kf_obs[k, sl] = b * BLOCK + np.arange(BLOCK)
+                feat_valid[k, sl] = True
+    # Points near their creating keyframe's GT position (geometry only
+    # matters for correct_points plumbing, not the pose comparison).
+    pt_X = np.repeat(C_gt[:n_blocks], BLOCK, axis=0) + rng.normal(
+        size=(P, 3)
+    ).astype(np.float32) * 0.3
+    pt_first = np.repeat(np.arange(n_blocks, dtype=np.int32), BLOCK)
+    m = m._replace(
+        kf_valid=jnp.ones((K,), bool),
+        kf_R=jnp.asarray(R_est),
+        kf_t=jnp.asarray(t_est),
+        kf_obs=jnp.asarray(kf_obs),
+        kf_feat_valid=jnp.asarray(feat_valid),
+        pt_valid=jnp.ones((P,), bool),
+        pt_X=jnp.asarray(pt_X),
+        pt_first_kf=jnp.asarray(pt_first),
+    )
+    return m, R_gt, t_gt
+
+
+def _loop_meas(R_gt, t_gt, new_kf, cand_kf):
+    """S21 = S_candw * S_neww^-1 from GT (the Sim3 the solver would find)."""
+    R21 = R_gt[cand_kf] @ R_gt[new_kf].T
+    t21 = t_gt[cand_kf] - R21 @ t_gt[new_kf]
+    return jnp.asarray(R21), jnp.asarray(t21), jnp.asarray(np.float32(1.0))
+
+
+def _no_past():
+    L = 16
+    return (
+        jnp.full((L,), -1, jnp.int32), jnp.full((L,), -1, jnp.int32),
+        jnp.tile(jnp.eye(3), (L, 1, 1)), jnp.zeros((L, 3)),
+        jnp.ones((L,)), jnp.zeros((L,), bool),
+    )
+
+
+def _aligned_rmse(m, R_gt, t_gt):
+    """Sim3-aligned keyframe-position RMSE vs GT (scale-aligned ATE)."""
+    K = len(R_gt)
+    R = np.asarray(m.kf_R)
+    t = np.asarray(m.kf_t)
+    C = -np.einsum("kji,kj->ki", R, t)
+    C_gt = -np.einsum("kji,kj->ki", R_gt, t_gt)
+    s, Ra, ta = sim3solver.umeyama(
+        jnp.asarray(C), jnp.asarray(C_gt), jnp.ones((K,))
+    )
+    C_al = float(s) * C @ np.asarray(Ra).T + np.asarray(ta)
+    return float(np.sqrt(np.mean(np.sum((C_al - C_gt) ** 2, axis=-1))))
+
+
+class TestEssentialGraph:
+    def test_graph_beats_chain_on_drifted_loop(self, rng):
+        """Drift concentrated between KF0 and the loop candidate: the
+        chain PGO pins BOTH (freezing that drift in), the essential graph
+        pins only the candidate (Optimizer.cc:1550-1560) and distributes
+        the correction through the whole graph."""
+        K = 18
+        cand_kf = 4
+        m, R_gt, t_gt = make_drifted_loop_map(
+            rng, K=K, boost_until=cand_kf, boost=3.0
+        )
+        new_kf = K - 1
+        lR, lt, ls = _loop_meas(R_gt, t_gt, new_kf, cand_kf)
+        rmse_before = _aligned_rmse(m, R_gt, t_gt)
+
+        m_chain, _ = _pgo_over_chain(
+            m, jnp.asarray(new_kf), jnp.asarray(cand_kf), lR, lt, ls,
+            jnp.asarray(K), n_iters=30,
+        )
+        m_graph, _ = _essential_graph_pgo(
+            m, jnp.asarray(new_kf), jnp.asarray(cand_kf), lR, lt, ls,
+            jnp.asarray(K), *_no_past(), n_iters=30,
+        )
+        rmse_chain = _aligned_rmse(m_chain, R_gt, t_gt)
+        rmse_graph = _aligned_rmse(m_graph, R_gt, t_gt)
+        assert rmse_before > 0.25, rmse_before  # drift setup sanity
+        assert rmse_graph < rmse_chain, (rmse_graph, rmse_chain)
+        assert rmse_graph < 0.8 * rmse_before, (rmse_graph, rmse_before)
+
+        def rel_err(mm):
+            """Relative-pose error of the frozen segment 0 -> cand."""
+            R = np.asarray(mm.kf_R)
+            t = np.asarray(mm.kf_t)
+            Rr = R[cand_kf] @ R[0].T
+            tr_ = t[cand_kf] - Rr @ t[0]
+            Rg = R_gt[cand_kf] @ R_gt[0].T
+            tg = t_gt[cand_kf] - Rg @ t_gt[0]
+            return float(np.linalg.norm(tr_ - tg))
+
+        # The chain cannot touch the 0 -> cand segment at all (both ends
+        # fixed, odometry self-consistent) — the over-constraint VERDICT
+        # r1 called out. The graph moves the segment (rigidly, as a
+        # consistent dangling tail off the candidate).
+        assert abs(rel_err(m_chain) - rel_err(m)) < 1e-5
+        d0 = np.linalg.norm(
+            np.asarray(m_graph.kf_t[0]) - np.asarray(m.kf_t[0])
+        )
+        assert d0 > 0.02, d0
+
+    def test_zero_drift_is_noop(self, rng):
+        """With GT poses and an exact loop measurement, every edge residual
+        is zero at the initial state -> the optimizer must not move."""
+        K = 18
+        m, R_gt, t_gt = make_drifted_loop_map(rng, K=K)
+        m = m._replace(kf_R=jnp.asarray(R_gt), kf_t=jnp.asarray(t_gt))
+        new_kf, cand_kf = K - 1, 4
+        lR, lt, ls = _loop_meas(R_gt, t_gt, new_kf, cand_kf)
+        m2, cost = _essential_graph_pgo(
+            m, jnp.asarray(new_kf), jnp.asarray(cand_kf), lR, lt, ls,
+            jnp.asarray(K), *_no_past(), n_iters=10,
+        )
+        assert float(cost) < 1e-6
+        np.testing.assert_allclose(np.asarray(m2.kf_R), R_gt, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(m2.kf_t), t_gt, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(m2.pt_X), np.asarray(m.pt_X), atol=1e-3
+        )
+
+    def test_past_loop_edges_constrain(self, rng):
+        """A second closure must keep honoring the first closure's edge:
+        corrupt the segment between the first pair after closing it, then
+        close a second loop — the first pair's relative pose must remain
+        near its stored measurement."""
+        K = 18
+        m, R_gt, t_gt = make_drifted_loop_map(rng, K=K)
+        new1, cand1 = K - 1, 4
+        lR1, lt1, ls1 = _loop_meas(R_gt, t_gt, new1, cand1)
+        m1, _ = _essential_graph_pgo(
+            m, jnp.asarray(new1), jnp.asarray(cand1), lR1, lt1, ls1,
+            jnp.asarray(K), *_no_past(), n_iters=30,
+        )
+        # second closure between 16 and 2, with the first edge persistent
+        L = 16
+        pi = jnp.full((L,), -1, jnp.int32).at[0].set(new1)
+        pj = jnp.full((L,), -1, jnp.int32).at[0].set(cand1)
+        pR = jnp.tile(jnp.eye(3), (L, 1, 1)).at[0].set(lR1)
+        pt = jnp.zeros((L, 3)).at[0].set(lt1)
+        ps = jnp.ones((L,))
+        pv = jnp.zeros((L,), bool).at[0].set(True)
+        new2, cand2 = K - 2, 2
+        lR2, lt2, ls2 = _loop_meas(R_gt, t_gt, new2, cand2)
+        m_with, _ = _essential_graph_pgo(
+            m1, jnp.asarray(new2), jnp.asarray(cand2), lR2, lt2, ls2,
+            jnp.asarray(K), pi, pj, pR, pt, ps, pv, n_iters=30,
+        )
+        m_without, _ = _essential_graph_pgo(
+            m1, jnp.asarray(new2), jnp.asarray(cand2), lR2, lt2, ls2,
+            jnp.asarray(K), *_no_past(), n_iters=30,
+        )
+
+        def first_edge_resid(mm):
+            R = np.asarray(mm.kf_R)
+            t = np.asarray(mm.kf_t)
+            R21 = R[cand1] @ R[new1].T
+            t21 = t[cand1] - R21 @ t[new1]
+            rot = np.linalg.norm(
+                np.asarray(lie.so3_log(jnp.asarray(R21 @ np.asarray(lR1).T)))
+            )
+            return rot + np.linalg.norm(t21 - np.asarray(lt1))
+
+        # The persistent edge must pull the first pair's relative pose
+        # toward its stored measurement vs dropping the edge entirely.
+        assert first_edge_resid(m_with) < 0.8 * first_edge_resid(m_without), (
+            first_edge_resid(m_with), first_edge_resid(m_without)
+        )

@@ -79,8 +79,12 @@ class TestLoopClosingE2E:
         """With windowed (local-map) tracking — the reference's actual
         tracking scope — the revisit creates duplicate landmarks and real
         drift, and the explicit path (retrieval -> point matching -> Sim3
-        RANSAC -> PGO -> duplicate fusion) must detect and correct it."""
-        n = 70
+        RANSAC -> temporal-consistency verification -> essential-graph
+        PGO -> duplicate fusion) must detect and correct it. The revisit
+        segment must span >= required_consistency keyframes for the
+        verification ladder (LoopClosing.cc:1342) to complete — hence the
+        longer sequence than the implicit-closure fixture."""
+        n = 90
         seq = synth.make_sequence(
             n_frames=n, height=240, width=376, dt=0.1, seed=5, trajectory="loop"
         )

@@ -104,6 +104,8 @@ def build_problem(rng, X, Rs, ts, uvs, K_cap, P_cap, E_cap, perturb_scale=0.0,
         inv_sigma2=jnp.ones(E_cap, jnp.float32),
         edge_valid=jnp.asarray(np.concatenate([np.ones(E, bool), np.zeros(pad_e, bool)])),
         cam_params=jnp.asarray(CAM),
+        ur=jnp.full((E_cap,), -1.0, jnp.float32),
+        bf=jnp.zeros(()),
     )
     return prob
 

@@ -213,3 +213,101 @@ class TestInertialInit:
         g_est = np.asarray(res.Rwg) @ np.array([0, 0, -imu.GRAVITY])
         cos = g_est @ sim["gravity"] / (np.linalg.norm(g_est) * imu.GRAVITY)
         assert cos > 0.999
+
+
+class TestPoseInertialOpt:
+    """VI motion-only pose optimization (PoseInertialOptimizationLast*,
+    Optimizer.cc:4636/5020)."""
+
+    def _setup(self, rng, n_pts=120, px_noise=0.2):
+        sim = simulate_vi(rng, n_kf=6)
+        calib = make_calib()
+        k = 3  # anchor = KF3, frame = KF4, window 3 integrates 3 -> 4
+        pre = imu.preintegrate(
+            jnp.asarray(sim["acc"][k]), jnp.asarray(sim["gyro"][k]),
+            jnp.asarray(sim["dts"][k]), jnp.zeros(6), calib,
+        )
+        X = rng.uniform([-4, -4, 1.5], [4, 4, 6], size=(n_pts, 3)).astype(np.float32)
+        R_f, p_f = sim["R_wb"][k + 1], sim["p_wb"][k + 1]
+        Xb = np.einsum("ji,nj->ni", R_f, X - p_f)
+        uv = np.asarray(
+            cameras.pinhole_project_nodist(jnp.asarray(CAM), jnp.asarray(Xb))
+        ) + rng.normal(size=(n_pts, 2)).astype(np.float32) * px_noise
+        valid = Xb[:, 2] > 0.3
+        anchor = dict(
+            R=jnp.asarray(sim["R_wb"][k]), p=jnp.asarray(sim["p_wb"][k]),
+            v=jnp.asarray(sim["v_w"][k]), bg=jnp.zeros(3), ba=jnp.zeros(3),
+        )
+        return sim, k, pre, X, uv, valid, anchor
+
+    def _no_prior(self):
+        z3 = jnp.zeros(3)
+        return dict(
+            prior_H=jnp.zeros((15, 15)), R_pr=jnp.eye(3), p_pr=z3,
+            v_pr=z3, bg_pr=z3, ba_pr=z3,
+        )
+
+    def test_converges_to_gt_from_imu_seed(self, rng):
+        sim, k, pre, X, uv, valid, anc = self._setup(rng)
+        # init = IMU prediction from the anchor (the tracking seed)
+        R0, p0, v0 = imu.predict_state(
+            anc["R"], anc["p"], anc["v"], jnp.zeros(6), pre
+        )
+        res = viba.pose_inertial_optimization(
+            R0, p0, v0, jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(X), jnp.asarray(uv), jnp.ones(len(X)),
+            jnp.asarray(valid),
+            anc["R"], anc["p"], anc["v"], anc["bg"], anc["ba"], pre,
+            **self._no_prior(),
+            cam_params=jnp.asarray(CAM), R_bc=jnp.eye(3), t_bc=jnp.zeros(3),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.R_wb), sim["R_wb"][k + 1], atol=5e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.p_wb), sim["p_wb"][k + 1], atol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.v_w), sim["v_w"][k + 1], atol=0.1
+        )
+        assert int(res.n_inliers) > 0.8 * valid.sum()
+        H = np.asarray(res.H)
+        np.testing.assert_allclose(H, H.T, rtol=1e-4, atol=2.0)
+        assert np.all(np.linalg.eigvalsh(H) > -1e-3)
+
+    def test_feature_starved_follows_imu(self, rng):
+        """With zero visual edges the optimum is the IMU dead-reckoned
+        state — the behavior that carries RECENTLY_LOST frames."""
+        sim, k, pre, X, uv, valid, anc = self._setup(rng)
+        R0, p0, v0 = imu.predict_state(
+            anc["R"], anc["p"], anc["v"], jnp.zeros(6), pre
+        )
+        # start AWAY from the prediction; no visual support at all
+        R_bad = jnp.asarray(sim["R_wb"][k])
+        res = viba.pose_inertial_optimization(
+            R_bad, anc["p"], anc["v"], jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(X), jnp.asarray(uv), jnp.ones(len(X)),
+            jnp.zeros(len(X), bool),
+            anc["R"], anc["p"], anc["v"], anc["bg"], anc["ba"], pre,
+            **self._no_prior(),
+            cam_params=jnp.asarray(CAM), R_bc=jnp.eye(3), t_bc=jnp.zeros(3),
+        )
+        np.testing.assert_allclose(np.asarray(res.R_wb), np.asarray(R0), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(res.p_wb), np.asarray(p0), atol=2e-2)
+
+    def test_strong_prior_dominates(self, rng):
+        sim, k, pre, X, uv, valid, anc = self._setup(rng)
+        R_gt = jnp.asarray(sim["R_wb"][k + 1])
+        p_gt = jnp.asarray(sim["p_wb"][k + 1])
+        v_gt = jnp.asarray(sim["v_w"][k + 1])
+        res = viba.pose_inertial_optimization(
+            anc["R"], anc["p"], anc["v"], jnp.zeros(3), jnp.zeros(3),
+            jnp.asarray(X), jnp.asarray(uv), jnp.ones(len(X)),
+            jnp.zeros(len(X), bool),
+            anc["R"], anc["p"], anc["v"], anc["bg"], anc["ba"], pre,
+            prior_H=jnp.eye(15) * 1e8, R_pr=R_gt, p_pr=p_gt, v_pr=v_gt,
+            bg_pr=jnp.zeros(3), ba_pr=jnp.zeros(3),
+            cam_params=jnp.asarray(CAM), R_bc=jnp.eye(3), t_bc=jnp.zeros(3),
+        )
+        np.testing.assert_allclose(np.asarray(res.p_wb), np.asarray(p_gt), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.R_wb), np.asarray(R_gt), atol=5e-3)
