@@ -59,6 +59,9 @@ class Atlas:
 
         keep = slam.n_kf >= self.min_kf_keep
         inertial = hasattr(slam, "kf_imu_acc")
+        # Fold in any in-flight global BA before the map is frozen.
+        while getattr(slam, "_gba", None) is not None:
+            slam._poll_gba(force=True)
         if keep:
             sigs = retrieval.kf_signatures(
                 slam.map.kf_desc_sign, slam.map.kf_feat_valid, self.vocab
@@ -180,6 +183,8 @@ class Atlas:
         separately-recorded chains), and a visual-inertial welding BA
         runs over the seam window (MergeInertialBA role,
         Optimizer.cc:4093)."""
+        while getattr(slam, "_gba", None) is not None:
+            slam._poll_gba(force=True)
         am = self.maps[archived_idx]
         cur = slam.map
         inertial = hasattr(slam, "kf_imu_acc")
@@ -204,15 +209,30 @@ class Atlas:
             if S[kc, ka] < 0.2:
                 break
             # Matched landmark pairs between the two keyframes (cross-map).
+            # Descriptor-only seeds across independently-built maps are
+            # sparse, so the RANSAC bar is low; the Sim3-guided grow +
+            # IRLS refit below (SearchBySim3 -> OptimizeSim3,
+            # LoopClosing.cc:1596-1690) must reach the real support bar.
             X1, X2, ok, pt1, pt2 = _cross_map_pairs(cur, am.m, int(kc), int(ka))
-            if int(jax.device_get(ok.sum())) < 15:
+            if int(jax.device_get(ok.sum())) < 8:
                 continue
             cand = sim3solver.solve_sim3(
-                X1, X2, ok, slam.cam_params, key, min_inliers=15,
+                X1, X2, ok, slam.cam_params, key, min_inliers=8,
                 fix_scale=both_metric,
             )
-            if bool(jax.device_get(cand.ok)):
-                res = cand
+            if not bool(jax.device_get(cand.ok)):
+                continue
+            X1g, X2g, okg, pt1, pt2, sig1g, sig2g = _cross_map_grow(
+                cur, am.m, int(kc), int(ka), cand.s, cand.R, cand.t,
+                slam.cam_params, slam.width, slam.height,
+            )
+            ref = sim3solver.refine_sim3(
+                X1g, X2g, okg, slam.cam_params, cand.s, cand.R, cand.t,
+                fix_scale=both_metric, min_inliers=15,
+                sigma2_1=sig1g, sigma2_2=sig2g,
+            )
+            if bool(jax.device_get(ref.ok)):
+                res = ref
                 break
         if res is None:
             return False
@@ -261,16 +281,23 @@ class Atlas:
                 slam.imu_stage = 0
         slam.n_kf = n_kf
         slam.n_pts = n_pts
-        # Current pose moves with the map transform.
-        Rc = np.asarray(jax.device_get(Rw))
-        tc = np.asarray(jax.device_get(tw))
-        sc = float(jax.device_get(sw))
-        # Tcw' = Tcw * S_w^-1 (SE3 approx: R' = R Rw^T, t' = s... ) —
-        # recompute from the transformed keyframe nearest to current.
-        slam.R_cur = np.asarray(jax.device_get(merged.kf_R[n_kf - 1]))
-        slam.t_cur = np.asarray(jax.device_get(merged.kf_t[n_kf - 1]))
+        # Current frame pose moves with the map transform (same formula
+        # as _transform_map applied to a single Tcw): R' = R Rw^T,
+        # t' = s t - R Rw^T tw — no snap to the last keyframe, so the
+        # first post-weld frame has no pose glitch.
+        Rwn = np.asarray(jax.device_get(Rw))
+        twn = np.asarray(jax.device_get(tw))
+        swn = float(jax.device_get(sw))
+        R_old, t_old = np.asarray(slam.R_cur), np.asarray(slam.t_cur)
+        slam.R_cur = (R_old @ Rwn.T).astype(np.float32)
+        slam.t_cur = (swn * t_old - R_old @ Rwn.T @ twn).astype(np.float32)
         slam.vel_R = np.eye(3, dtype=np.float32)
         slam.vel_t = np.zeros(3, np.float32)
+        if inertial:
+            # Body velocity rotates/scales with the world frame.
+            slam.v_cur = (swn * Rwn @ np.asarray(slam.v_cur)).astype(
+                np.float32
+            )
         slam._ref_cache = None
         del self.maps[archived_idx]
         if both_metric:
@@ -279,6 +306,57 @@ class Atlas:
             # preintegration edge; reprojection edges tie the two sides.
             slam._run_vi_ba(window=slam.W, n_iters=6)
         return True
+
+
+def _cross_map_grow(
+    m1: ms.MapState, m2: ms.MapState, kf1, kf2, s21, R21, t21,
+    cam_params, width: int, height: int, radius: float = 10.0,
+):
+    """Widen a cross-map correspondence set under a Sim3 hypothesis —
+    the merge-side ``ORBmatcher::SearchBySim3`` (ORBmatcher.cc:1457,
+    driven by LoopClosing's merge path): project map-1 keyframe kf1's
+    bound landmarks through S21 into map-2 keyframe kf2's image and
+    re-match by descriptor within ``radius``. The descriptor-only seed
+    pairs are typically few (two viewpoints, independent maps); the
+    projection-guided set is what makes the weld well-conditioned."""
+    from functools import partial as _p
+
+    from ..ops import cameras, hamming, matching
+    from .loop_closing import _kf_features
+
+    P1, P2, N = m1.P, m2.P, m1.N
+    pt1 = m1.kf_obs[kf1]
+    p1c = jnp.clip(pt1, 0, P1 - 1)
+    X1w = m1.pt_X[p1c]
+    X1 = jnp.einsum("ij,nj->ni", m1.kf_R[kf1], X1w) + m1.kf_t[kf1]
+    X1in2 = s21 * jnp.einsum("ij,nj->ni", R21, X1) + t21
+    uv2 = cameras.pinhole_project_nodist(cam_params, X1in2)
+    src_ok = (
+        (pt1 >= 0)
+        & m1.kf_feat_valid[kf1]
+        & m1.pt_valid[p1c]
+        & (X1in2[:, 2] > 0.05)
+        & cameras.in_image(uv2, width, height, 2.0)
+    )
+    f2 = _kf_features(m2, jnp.asarray(kf2))
+    f2 = f2._replace(valid=f2.valid & (m2.kf_obs[kf2] >= 0))
+    idx, _ = matching.search_by_projection(
+        uv2, src_ok, m1.pt_level[p1c], m1.pt_desc_sign[p1c], f2,
+        radius=radius, max_dist=hamming.TH_HIGH, ratio=1.0,
+    )
+    fidx2 = jnp.clip(idx, 0, m2.N - 1)
+    pt2 = m2.kf_obs[kf2][fidx2]
+    ok = (
+        src_ok
+        & (idx >= 0)
+        & (pt2 >= 0)
+        & m2.pt_valid[jnp.clip(pt2, 0, P2 - 1)]
+    )
+    X2w = m2.pt_X[jnp.clip(pt2, 0, P2 - 1)]
+    X2 = jnp.einsum("ij,nj->ni", m2.kf_R[kf2], X2w) + m2.kf_t[kf2]
+    sig1 = 1.2 ** (2.0 * m1.kf_level[kf1].astype(X1.dtype))
+    sig2 = 1.2 ** (2.0 * m2.kf_level[kf2][fidx2].astype(X1.dtype))
+    return X1, X2, ok, pt1, pt2, sig1, sig2
 
 
 def _cross_map_pairs(m1: ms.MapState, m2: ms.MapState, kf1: int, kf2: int):
@@ -351,6 +429,7 @@ def _concat_maps(base: ms.MapState, base_kf: int, base_pts: int,
         kf_feat_valid=m.kf_feat_valid.at[base_kf : base_kf + other_kf].set(other.kf_feat_valid[kf_slice]),
         kf_obs=m.kf_obs.at[base_kf : base_kf + other_kf].set(obs_shift),
         kf_ts=m.kf_ts.at[base_kf : base_kf + other_kf].set(other.kf_ts[kf_slice]),
+        kf_ur=m.kf_ur.at[base_kf : base_kf + other_kf].set(other.kf_ur[kf_slice]),
         kf_v=m.kf_v.at[base_kf : base_kf + other_kf].set(other.kf_v[kf_slice]),
         kf_bg=m.kf_bg.at[base_kf : base_kf + other_kf].set(other.kf_bg[kf_slice]),
         kf_ba=m.kf_ba.at[base_kf : base_kf + other_kf].set(other.kf_ba[kf_slice]),

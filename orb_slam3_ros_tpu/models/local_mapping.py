@@ -15,10 +15,69 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import ba
-from .map_state import MapState
+from .map_state import MapState, covisibility, obs_matrix
 
 
 P_BA = 2048  # compacted landmark capacity of a local-BA window
+
+
+@partial(jax.jit, static_argnames=("w_free", "w_fixed"))
+def select_covis_window(
+    m: MapState,
+    last: jnp.ndarray,  # [] int32 newest keyframe slot
+    w_free: int,
+    w_fixed: int,
+):
+    """Covisibility local-BA window around keyframe ``last``.
+
+    The reference's local BA optimizes the current KF + its covisible
+    neighbors, holding fixed every OTHER keyframe that observes one of
+    the local map points (Optimizer.cc:1120-1210: lLocalKeyFrames from
+    GetVectorCovisibleKeyFrames, lFixedCameras from the local points'
+    observations). The round-1 temporal last-W window loses exactly this
+    on revisits: old keyframes seeing the same scene neither join nor
+    anchor the solve. Here: free set = ``last`` + top-(w_free-1) by
+    covisibility weight; fixed set = top-w_fixed outside observers by
+    shared-point count; slot 0 (the gauge root) is always fixed and the
+    weakest free entries are demoted until >=2 anchors hold the mono
+    gauge (scale observability on young maps).
+
+    Returns (window_ids [w_free+w_fixed], fixed_mask, entry_valid);
+    dead entries (no such neighbor exists) have entry_valid False and
+    must be masked by the consumers — top_k emits arbitrary indices for
+    -inf scores, so the ids may duplicate live entries.
+    """
+    K = m.K
+    valid = m.kf_valid
+    row = covisibility(m)[last].astype(jnp.float32)
+    row = jnp.where(valid, row, -jnp.inf)
+    row = row.at[last].set(jnp.inf)  # current KF always leads the window
+    fv, fids = jax.lax.top_k(row, w_free)
+    f_ok = fv > 0.0  # self, or shares >=1 point
+    obsM = obs_matrix(m)  # [K, P]
+    free_k = jnp.zeros((K,), bool).at[fids].max(f_ok)
+    local_pts = jnp.any(obsM & free_k[:, None], axis=0)  # [P]
+    fx_score = jnp.sum(obsM & local_pts[None, :], axis=-1).astype(jnp.float32)
+    fx_score = jnp.where(valid & ~free_k, fx_score, -jnp.inf)
+    xv, xids = jax.lax.top_k(fx_score, w_fixed)
+    x_ok = xv > 0.0
+    # Gauge anchoring: slot 0 fixed whenever it is in the free window,
+    # and demote the weakest-covisibility free entries (never the
+    # current KF at position 0) until >=2 valid cameras are fixed.
+    fixed_free0 = (fids == 0) & f_ok
+    n_anchor = jnp.sum(x_ok.astype(jnp.int32)) + jnp.sum(
+        fixed_free0.astype(jnp.int32)
+    )
+    n_free = jnp.sum(f_ok.astype(jnp.int32))
+    need = jnp.clip(2 - n_anchor, 0, None)
+    pos = jnp.arange(w_free)
+    demote = f_ok & ~fixed_free0 & (pos > 0) & (pos >= n_free - need)
+    window_ids = jnp.concatenate([fids, xids]).astype(jnp.int32)
+    fixed_mask = jnp.concatenate(
+        [fixed_free0 | demote, jnp.ones((w_fixed,), bool)]
+    )
+    entry_valid = jnp.concatenate([f_ok, x_ok])
+    return window_ids, fixed_mask, entry_valid
 
 
 @partial(jax.jit, static_argnames=("scale",))
@@ -29,6 +88,7 @@ def build_local_ba(
     cam_params: jnp.ndarray,
     scale: float = 1.2,
     bf: jnp.ndarray | float = 0.0,
+    entry_valid: jnp.ndarray | None = None,
 ):
     """Gather the covisible window into a fixed-capacity BA problem.
 
@@ -45,12 +105,17 @@ def build_local_ba(
     W = window_ids.shape[0]
     N = m.N
     P = m.P
+    cam_ok = m.kf_valid[window_ids]
+    if entry_valid is not None:
+        # Dead window slots (select_covis_window padding) contribute no
+        # cameras and no edges — their ids may alias live entries.
+        cam_ok = cam_ok & entry_valid
     obs = m.kf_obs[window_ids]  # [W,N]
     pt_idx = jnp.clip(obs.reshape(-1), 0, P - 1)
     edge_valid = (
         (obs.reshape(-1) >= 0)
         & m.kf_feat_valid[window_ids].reshape(-1)
-        & m.kf_valid[window_ids].repeat(N)
+        & cam_ok.repeat(N)
         & m.pt_valid[pt_idx]
     )
     inv_sigma2 = 1.0 / scale ** (
@@ -72,7 +137,7 @@ def build_local_ba(
         R=m.kf_R[window_ids],
         t=m.kf_t[window_ids],
         cam_fixed=fixed_mask,
-        cam_valid=m.kf_valid[window_ids],
+        cam_valid=cam_ok,
         X=m.pt_X[sel_c],
         pt_valid=slot_valid,
         cam_idx=jnp.repeat(jnp.arange(W, dtype=jnp.int32), N),
@@ -89,33 +154,47 @@ def build_local_ba(
 
 @jax.jit
 def apply_local_ba(
-    m: MapState, window_ids: jnp.ndarray, sel: jnp.ndarray, res: ba.BAResult
+    m: MapState,
+    window_ids: jnp.ndarray,
+    sel: jnp.ndarray,
+    res: ba.BAResult,
+    entry_valid: jnp.ndarray | None = None,
 ) -> MapState:
     """Scatter optimized poses + compacted points back into the map
-    (pad slots carry sentinel index P and are dropped)."""
+    (pad slots carry sentinel index P and are dropped; dead window
+    entries are routed out of bounds and dropped likewise)."""
+    ids = window_ids
+    if entry_valid is not None:
+        ids = jnp.where(entry_valid, window_ids, m.K)
     return m._replace(
-        kf_R=m.kf_R.at[window_ids].set(res.R),
-        kf_t=m.kf_t.at[window_ids].set(res.t),
+        kf_R=m.kf_R.at[ids].set(res.R, mode="drop"),
+        kf_t=m.kf_t.at[ids].set(res.t, mode="drop"),
         pt_X=m.pt_X.at[sel].set(res.X, mode="drop"),
     )
 
 
 @jax.jit
 def drop_ba_outlier_obs(
-    m: MapState, window_ids: jnp.ndarray, res: ba.BAResult
+    m: MapState,
+    window_ids: jnp.ndarray,
+    res: ba.BAResult,
+    entry_valid: jnp.ndarray | None = None,
 ) -> MapState:
     """Unbind observations whose BA edge ended as a chi2 outlier (the
     reference erases those observations after local BA,
     Optimizer.cc:1438-1460)."""
     W = window_ids.shape[0]
     N = m.N
-    obs_w = m.kf_obs[window_ids]
+    ids = window_ids
+    if entry_valid is not None:
+        ids = jnp.where(entry_valid, window_ids, m.K)
+    obs_w = m.kf_obs[jnp.clip(ids, 0, m.K - 1)]
     had_pt = obs_w.reshape(-1) >= 0
     # res.inlier = edge_valid & chi2-ok, so for a bound observation
     # ~inlier means either chi2 outlier or a dead point — clear both.
     clear = (had_pt & ~res.inlier).reshape(W, N)
     new_obs_w = jnp.where(clear, -1, obs_w)
-    return m._replace(kf_obs=m.kf_obs.at[window_ids].set(new_obs_w))
+    return m._replace(kf_obs=m.kf_obs.at[ids].set(new_obs_w, mode="drop"))
 
 
 @partial(jax.jit, static_argnames=("scale",))
@@ -154,6 +233,49 @@ def build_global_ba(m: MapState, n_kf: jnp.ndarray, cam_params: jnp.ndarray,
         cam_params=cam_params,
         ur=m.kf_ur.reshape(-1),
         bf=jnp.asarray(bf, m.kf_t.dtype),
+    )
+
+
+@jax.jit
+def apply_global_ba_partial(
+    m: MapState, res: ba.BAResult, n_kf0: jnp.ndarray
+) -> MapState:
+    """Fold in a global-BA result computed on a SNAPSHOT of the map while
+    tracking kept inserting keyframes — the reference's post-GBA map
+    update (LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:
+    3660-3780): keyframes that were in the problem (slot < ``n_kf0``)
+    take their optimized poses; keyframes inserted during the solve keep
+    their pose RELATIVE to the last optimized keyframe (the spanning-tree
+    propagation, collapsed to the temporal parent); points created during
+    the solve move with that same correction.
+    """
+    K, N, P = m.K, m.N, m.P
+    ids = jnp.arange(K)
+    old_kf = ids < n_kf0
+    r = jnp.clip(n_kf0 - 1, 0, K - 1)
+    Rr_o, tr_o = m.kf_R[r], m.kf_t[r]  # reference KF, pre-GBA
+    Rr_n, tr_n = res.R[r], res.t[r]  # reference KF, optimized
+    # T_k<-r (fixed): Tcw_k * Twc_r(old); then Tcw_k' = T_k<-r * Tcw_r'.
+    Rk_r = jnp.einsum("kij,lj->kil", m.kf_R, Rr_o)
+    tk_r = m.kf_t - jnp.einsum("kij,j->ki", Rk_r, tr_o)
+    Rk_new = jnp.einsum("kij,jl->kil", Rk_r, Rr_n)
+    tk_new = jnp.einsum("kij,j->ki", Rk_r, tr_n) + tk_r
+    kf_R = jnp.where(old_kf[:, None, None], res.R, Rk_new)
+    kf_t = jnp.where(old_kf[:, None], res.t, tk_new)
+    # Points born during the solve: world -> cam_r(old) -> world(new).
+    old_pt = m.pt_first_kf < n_kf0
+    Xc_r = m.pt_X @ Rr_o.T + tr_o
+    X_prop = (Xc_r - tr_n) @ Rr_n
+    pt_X = jnp.where(
+        (old_pt & m.pt_valid)[:, None], res.X,
+        jnp.where(m.pt_valid[:, None], X_prop, m.pt_X),
+    )
+    # Outlier-observation clearing only applies to rows the solve saw.
+    flat_obs = m.kf_obs.reshape(-1)
+    clear = ((flat_obs >= 0) & ~res.inlier).reshape(K, N) & old_kf[:, None]
+    return m._replace(
+        kf_R=kf_R, kf_t=kf_t, pt_X=pt_X,
+        kf_obs=jnp.where(clear, -1, m.kf_obs),
     )
 
 

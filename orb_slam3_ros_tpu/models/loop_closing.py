@@ -660,6 +660,12 @@ class LoopCloser:
             s: jnp.ndarray
 
         res = _Res(R=loop_R, t=loop_t, s=loop_s)
+        # A previous closure's global BA still in flight would stomp the
+        # poses this PGO is about to write — fold it in first.
+        if getattr(slam, "_gba", None) is not None:
+            while slam._gba is not None:
+                slam._poll_gba(force=True)
+            m = slam.map
         # Inertial maps use the 4-dof essential graph (pMap->IsInertial()
         # branch in CorrectLoop, LoopClosing.cc:2370-2375).
         four_dof = self.four_dof or bool(
@@ -684,17 +690,11 @@ class LoopCloser:
             self._dump_problem(slam, slam.map, new_kf, cand, res, "post")
         slam.map = _fuse_duplicates(slam.map, pt1, pt2, fuse_ok)
         if self.run_gba:
-            from ..ops import ba_pcg
-            from . import local_mapping
-
-            prob = local_mapping.build_global_ba(
-                slam.map, jnp.asarray(slam.n_kf), slam.cam_params,
-                bf=jnp.asarray(getattr(slam, "bf", 0.0), jnp.float32),
-            )
-            gres = ba_pcg.bundle_adjust_pcg(
-                prob, n_iters=self.gba_iters, n_cg=50
-            )
-            slam.map = local_mapping.apply_global_ba(slam.map, gres)
+            # Chunked async GBA (the reference launches
+            # RunGlobalBundleAdjustment on its own thread,
+            # LoopClosing.cc:2520): chunks interleave with tracking on
+            # the device queue; a new keyframe aborts remaining chunks.
+            slam._start_async_gba(self.gba_iters)
         # Landmark geometry moved wholesale: recompute viewing
         # normals / depth bands / representative descriptors now
         # rather than waiting for the next keyframe cadence.

@@ -83,8 +83,14 @@ class MonoSlam:
         track_schedule: Optional[tuple] = None,
         lean_after_kf: int = 12,
         ts_jump_threshold: float = 1.0,
+        covis_ba: bool = True,
         seed: int = 0,
     ):
+        # ``covis_ba``: select the local-BA window by covisibility with
+        # the newest keyframe (the reference's local window) instead of
+        # the temporal last-W keyframes — matters on revisits, where the
+        # covisible neighbors are OLD keyframes.
+        self.covis_ba = covis_ba
         # Input-gap limit before the map is segmented (the reference's
         # 1.0 s check, Tracking.cc:1861).
         self.ts_jump_threshold = ts_jump_threshold
@@ -125,6 +131,12 @@ class MonoSlam:
         self._pending = None  # in-flight frame: dict(feats, res, ts, idx)
         self._last2 = None  # (R, t) device handles of frame i-2
         self._kf_async = None  # deferred keyframe-work results
+        # Chunked global BA in flight (mbStopGBA semantics): the solve
+        # runs on a SNAPSHOT of the map a few LM iterations per dispatch,
+        # interleaved with per-frame tracking on the device queue; a new
+        # keyframe sets abort and the partial result is folded in with
+        # relative-pose propagation (apply_global_ba_partial).
+        self._gba = None
         # ``track_window``: only project points created by the last W
         # keyframes (the reference's local-map tracking; None = whole
         # map, which makes revisits re-acquire old landmarks and close
@@ -504,6 +516,7 @@ class MonoSlam:
     def _drain_pending(self):
         """Process the previous frame's (already host-bound) result."""
         self._apply_kf_async()
+        self._poll_gba()
         if self._pending is None:
             return None
         p, self._pending = self._pending, None
@@ -522,11 +535,83 @@ class MonoSlam:
         return out
 
     def flush(self):
-        """Drain the in-flight frame and deferred keyframe results (end
-        of sequence / before bulk map reads)."""
+        """Drain the in-flight frame, deferred keyframe results, and any
+        in-flight global BA (end of sequence / before bulk map reads)."""
         out = self._drain_pending()
         self._apply_kf_async(force=True)
+        while self._gba is not None:
+            self._poll_gba(force=True)
         return out
+
+    # ------------------------------------------------------------------
+    # Chunked, abortable global BA (the reference's background GBA thread
+    # + mbStopGBA flag, LoopClosing.cc:3609-3780). Each chunk is a short
+    # bundle_adjust_pcg dispatch; per-frame tracking programs interleave
+    # with chunks on the device queue, so the frame loop never waits a
+    # full GBA. A keyframe arriving mid-solve calls abort_gba(): no
+    # further chunks are issued and the partial result is applied with
+    # relative-pose propagation for everything created during the solve.
+    def _start_async_gba(self, n_iters: int, n_cg: int = 50, chunk: int = 2):
+        from . import local_mapping as lm
+
+        if self._gba is not None:
+            self._poll_gba(force=True)  # fold in the previous solve first
+        prob = lm.build_global_ba(
+            self.map, jnp.asarray(self.n_kf), self.cam_params,
+            bf=jnp.asarray(self.bf, jnp.float32),
+        )
+        self._gba = dict(
+            prob=prob, done=0, target=n_iters, chunk=chunk, n_cg=n_cg,
+            n_kf0=self.n_kf, res=None, abort=False,
+        )
+        self._dispatch_gba_chunk()
+
+    def abort_gba(self):
+        """Stop issuing further GBA chunks (mbStopGBA); the chunk already
+        on the device still completes and its result is folded in."""
+        if self._gba is not None:
+            self._gba["abort"] = True
+
+    def _dispatch_gba_chunk(self):
+        from ..ops import ba_pcg
+
+        g = self._gba
+        it = min(g["chunk"], g["target"] - g["done"])
+        res = ba_pcg.bundle_adjust_pcg(g["prob"], n_iters=it, n_cg=g["n_cg"])
+        g["prob"] = g["prob"]._replace(R=res.R, t=res.t, X=res.X)
+        g["res"] = res
+        g["done"] += it
+        for h in (res.R, res.t, res.X):
+            h.copy_to_host_async()
+
+    def _poll_gba(self, force: bool = False):
+        if self._gba is None:
+            return
+        g = self._gba
+        if not force:
+            try:
+                if not all(
+                    h.is_ready() for h in (g["res"].R, g["res"].t, g["res"].X)
+                ):
+                    return
+            except AttributeError:
+                pass
+        if g["abort"] or g["done"] >= g["target"]:
+            self._finish_gba()
+        else:
+            self._dispatch_gba_chunk()
+
+    def _finish_gba(self):
+        from . import local_mapping as lm
+
+        g, self._gba = self._gba, None
+        self.map = lm.apply_global_ba_partial(
+            self.map, g["res"], jnp.asarray(g["n_kf0"], jnp.int32)
+        )
+        self.map = map_updates.refresh_point_stats(
+            self.map, n_levels=self.config.n_levels
+        )
+        self._ref_cache = None
 
     def _predict_motion(self, ts):
         """Hook: update vel_R/vel_t before tracking (constant-velocity by
@@ -760,6 +845,10 @@ class MonoSlam:
             return False
         self._apply_kf_async(force=True)
         self._drain_pending()
+        # Compaction remaps slots — fold in any in-flight GBA first (its
+        # snapshot indexes the current layout).
+        while self._gba is not None:
+            self._poll_gba(force=True)
         n_valid = int(jax.device_get(jnp.sum(self.map.kf_valid)))
         if n_valid >= self.K_cap:
             self.map, n_c = map_updates.cull_keyframes(
@@ -814,6 +903,9 @@ class MonoSlam:
 
     def _insert_keyframe(self, feats, ts, track_res):
         self._apply_kf_async(force=True)
+        # A new keyframe stops any in-flight global BA after its current
+        # chunk (the reference's mbStopGBA / mbAbortBA request).
+        self.abort_gba()
         kf_id = self.n_kf
         if self.on_frame is not None:
             self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))
@@ -911,28 +1003,45 @@ class MonoSlam:
     def _run_local_ba(self, n_iters):
         if self.n_kf < 2:
             return
-        last = self.n_kf
-        free_lo = max(0, last - self.ba_window)
-        fix_lo = max(0, free_lo - self.ba_fixed)
-        ids = list(range(fix_lo, last))
-        fixed = [i < free_lo or i == 0 for i in ids]
-        # Mono gauge: when everything is free except KF0, additionally fix
-        # the second-oldest in-window KF to anchor scale.
-        if sum(fixed) == (1 if 0 in ids else 0):
-            fixed[0] = True
-        pad = self.W - len(ids)
-        if pad > 0:
-            ids = ids + [self.K_cap - 1] * pad  # empty slot (kf_valid False)
-            fixed = fixed + [True] * pad
-        window_ids = jnp.asarray(np.asarray(ids[: self.W], np.int32))
-        fixed_mask = jnp.asarray(np.asarray(fixed[: self.W], bool))
+        entry_valid = None
+        if self.covis_ba:
+            # Covisibility window (Optimizer.cc:1120-1210): free set =
+            # newest KF + top covisible neighbors, fixed set = outside
+            # observers of the local points — selected ON DEVICE, so no
+            # host sync enters the keyframe hot path.
+            window_ids, fixed_mask, entry_valid = (
+                local_mapping.select_covis_window(
+                    self.map, jnp.asarray(self.n_kf - 1, jnp.int32),
+                    self.ba_window, self.ba_fixed,
+                )
+            )
+        else:
+            last = self.n_kf
+            free_lo = max(0, last - self.ba_window)
+            fix_lo = max(0, free_lo - self.ba_fixed)
+            ids = list(range(fix_lo, last))
+            fixed = [i < free_lo or i == 0 for i in ids]
+            # Mono gauge: when everything is free except KF0, additionally
+            # fix the second-oldest in-window KF to anchor scale.
+            if sum(fixed) == (1 if 0 in ids else 0):
+                fixed[0] = True
+            pad = self.W - len(ids)
+            if pad > 0:
+                ids = ids + [self.K_cap - 1] * pad  # empty slot (kf_valid False)
+                fixed = fixed + [True] * pad
+            window_ids = jnp.asarray(np.asarray(ids[: self.W], np.int32))
+            fixed_mask = jnp.asarray(np.asarray(fixed[: self.W], bool))
         prob, sel = local_mapping.build_local_ba(
             self.map, window_ids, fixed_mask, self.cam_params,
-            bf=jnp.asarray(self.bf, jnp.float32),
+            bf=jnp.asarray(self.bf, jnp.float32), entry_valid=entry_valid,
         )
         res = ba.bundle_adjust(prob, n_iters=n_iters, row_n=self.N)
-        self.map = local_mapping.apply_local_ba(self.map, window_ids, sel, res)
-        self.map = local_mapping.drop_ba_outlier_obs(self.map, window_ids, res)
+        self.map = local_mapping.apply_local_ba(
+            self.map, window_ids, sel, res, entry_valid
+        )
+        self.map = local_mapping.drop_ba_outlier_obs(
+            self.map, window_ids, res, entry_valid
+        )
 
     # ------------------------------------------------------------------
     def timing_summary(self):

@@ -31,14 +31,18 @@ def detect_plane(
     valid: jnp.ndarray,
     key: jnp.ndarray,
     n_hyp: int = 128,
-    rel_th: float = 0.02,
-    min_inlier_frac: float = 0.2,
+    rel_th: float = 0.03,
+    min_inlier_frac: float = 0.15,
 ) -> PlaneResult:
     """Fit the dominant plane to [N,3] world points.
 
     ``rel_th``: inlier distance threshold as a fraction of the point
     cloud's median absolute deviation scale (adapts to map scale, mono
-    maps have arbitrary units).
+    maps have arbitrary units). The winning hypothesis is refit twice
+    (SVD on inliers, re-gate, refit) — the second round recovers points
+    the minimal 3-point hypothesis missed, which matters on noisy
+    triangulated maps where per-point error is a few percent of scene
+    scale.
     """
     N = X.shape[0]
     logits = jnp.where(valid, 0.0, -jnp.inf)
@@ -58,19 +62,21 @@ def detect_plane(
     inl = (dist < th) & valid
     counts = jnp.sum(inl, axis=-1)
     best = jnp.argmax(counts)
-    w = inl[best].astype(X.dtype)
 
-    # Refit: plane through the weighted centroid, normal = smallest
-    # singular vector of the centered inliers.
-    wsum = jnp.maximum(jnp.sum(w), 1e-9)
-    c = jnp.sum(X * w[:, None], axis=0) / wsum
-    Xc = (X - c) * w[:, None]
-    _, _, Vt = jnp.linalg.svd(Xc, full_matrices=False)
-    n_f = Vt[-1]
-    n_f = n_f / jnp.maximum(jnp.linalg.norm(n_f), 1e-12)
-    d_f = -n_f @ c
-    dist_f = jnp.abs(X @ n_f + d_f)
-    inlier = (dist_f < th) & valid
+    def refit(w):
+        # Plane through the weighted centroid, normal = smallest
+        # singular vector of the centered inliers.
+        wsum = jnp.maximum(jnp.sum(w), 1e-9)
+        c = jnp.sum(X * w[:, None], axis=0) / wsum
+        Xc = (X - c) * w[:, None]
+        _, _, Vt = jnp.linalg.svd(Xc, full_matrices=False)
+        n_f = Vt[-1] / jnp.maximum(jnp.linalg.norm(Vt[-1]), 1e-12)
+        d_f = -n_f @ c
+        inlier = (jnp.abs(X @ n_f + d_f) < th) & valid
+        return n_f, d_f, c, inlier
+
+    n_f, d_f, c, inlier = refit(inl[best].astype(X.dtype))
+    n_f, d_f, c, inlier = refit(inlier.astype(X.dtype))
     n_inl = jnp.sum(inlier.astype(jnp.int32))
     n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
     ok = n_inl.astype(jnp.float32) >= min_inlier_frac * n_valid.astype(

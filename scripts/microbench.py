@@ -53,12 +53,20 @@ def main():
     timeit("extract (pyramid+FAST+orient+desc)", slam._extract, img)
     R = jnp.asarray(slam.R_cur); t = jnp.asarray(slam.t_cur)
     feats, res = timeit(
-        "fused extract+track (3-pass)", slam._fused_track, img, m, R, t,
-        slam.n_kf,
+        "fused extract+track (dense)", slam._fused_track, img, m, R, t,
+        slam.n_kf, schedule=tracking.SCHEDULE_DENSE,
     )
     timeit(
         "track only (3-pass match+pose)", tracking.track_against_map,
         m, feats, R, t, cam, W, H,
+    )
+    timeit(
+        "fused extract+track (lean)", slam._fused_track, img, m, R, t,
+        slam.n_kf, schedule=tracking.SCHEDULE_LEAN,
+    )
+    timeit(
+        "select_covis_window", local_mapping.select_covis_window,
+        m, jnp.asarray(slam.n_kf - 1), slam.ba_window, slam.ba_fixed,
     )
     timeit(
         "triangulate_with_ref", tracking.triangulate_with_ref,

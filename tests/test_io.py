@@ -174,3 +174,83 @@ class TestVizAndEvalCLI:
         tr.save_tum(gt, traj_g)
         rc = evaluate.main([est, gt])
         assert rc == 0
+
+
+class TestAtlasCheckpoint:
+    """Whole-session checkpoint (System::SaveAtlas role,
+    System.cc:1417-1533): active map + archived Atlas maps + loop edges
+    survive a save/load round-trip."""
+
+    def _populated_system(self, rng):
+        from orb_slam3_ros_tpu.models.atlas import ArchivedMap
+        from orb_slam3_ros_tpu.models.system import MonoSlam
+
+        cam = np.asarray([200.0, 200.0, 96.0, 64.0, 0, 0, 0, 0, 0], np.float32)
+        s = MonoSlam(height=128, width=192, cam_params=cam, n_features=200,
+                     max_keyframes=8, max_points=256,
+                     enable_atlas=True, enable_loop_closing=True)
+        s.map = s.map._replace(
+            kf_valid=s.map.kf_valid.at[:3].set(True),
+            pt_X=jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32)),
+            pt_valid=s.map.pt_valid.at[:50].set(True),
+        )
+        s.n_kf, s.n_pts, s.state = 3, 50, 1
+        # two archived maps with distinct content
+        for k in range(2):
+            m = map_state.empty_map(8, s.N, 256)
+            m = m._replace(
+                kf_valid=m.kf_valid.at[: 2 + k].set(True),
+                pt_X=jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32)),
+            )
+            s.atlas.maps.append(ArchivedMap(
+                m=m, n_kf=2 + k, n_pts=10 * (k + 1),
+                sigs=jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32)),
+            ))
+        # a persistent loop edge
+        s.loop_closer._record_loop_edge(
+            2, 0, np.eye(3, dtype=np.float32),
+            np.asarray([0.1, 0, 0], np.float32), 1.0,
+        )
+        return s
+
+    def test_atlas_roundtrip(self, tmp_path, rng):
+        from orb_slam3_ros_tpu.models.system import MonoSlam
+
+        s1 = self._populated_system(rng)
+        path = str(tmp_path / "atlas")
+        digest = checkpoint.save_atlas(path, s1)
+        assert len(digest) == 32
+
+        cam = np.asarray([200.0, 200.0, 96.0, 64.0, 0, 0, 0, 0, 0], np.float32)
+        s2 = MonoSlam(height=128, width=192, cam_params=cam, n_features=200,
+                      max_keyframes=8, max_points=256,
+                      enable_atlas=True, enable_loop_closing=True)
+        checkpoint.load_atlas(path, s2)
+        assert s2.n_kf == 3 and s2.n_pts == 50 and s2.state == 1
+        assert len(s2.atlas.maps) == 2
+        for am1, am2 in zip(s1.atlas.maps, s2.atlas.maps):
+            assert am1.n_kf == am2.n_kf and am1.n_pts == am2.n_pts
+            np.testing.assert_array_equal(
+                np.asarray(am1.m.pt_X), np.asarray(am2.m.pt_X))
+            np.testing.assert_array_equal(
+                np.asarray(am1.sigs), np.asarray(am2.sigs))
+        np.testing.assert_array_equal(
+            np.asarray(s1.map.pt_X), np.asarray(s2.map.pt_X))
+        assert s2.loop_closer._n_edges == 1
+        np.testing.assert_allclose(
+            s2.loop_closer._edge_t[0], [0.1, 0, 0], atol=1e-7)
+
+    def test_atlas_checksum(self, tmp_path, rng):
+        s1 = self._populated_system(rng)
+        path = str(tmp_path / "atlas")
+        checkpoint.save_atlas(path, s1)
+        with open(path + ".npz", "r+b") as f:
+            f.seek(60)
+            f.write(b"ZZ")
+        from orb_slam3_ros_tpu.models.system import MonoSlam
+
+        cam = np.asarray([200.0, 200.0, 96.0, 64.0, 0, 0, 0, 0, 0], np.float32)
+        s2 = MonoSlam(height=128, width=192, cam_params=cam, n_features=200,
+                      max_keyframes=8, max_points=256, enable_atlas=True)
+        with pytest.raises(ValueError, match="checksum"):
+            checkpoint.load_atlas(path, s2)

@@ -195,3 +195,83 @@ class TestDenseGatherEquivalence:
         np.testing.assert_array_equal(
             np.asarray(a.kf_valid), np.asarray(b.kf_valid)
         )
+
+
+class TestCovisWindow:
+    """select_covis_window: the local-BA window must follow covisibility,
+    not time (Optimizer.cc:1120-1210) — the round-2 fix for revisits."""
+
+    def _revisit_map(self):
+        """10 KFs, 60 points: KF9 (the 'revisit') shares points with KFs
+        0-2 only; KFs 3-8 observe a disjoint set."""
+        import jax
+        from orb_slam3_ros_tpu.models import local_mapping
+
+        K, N, P = 12, 16, 64
+        m = ms.empty_map(K, N, P)
+        kf_valid = np.zeros(K, bool)
+        kf_valid[:10] = True
+        obs = np.full((K, N), -1, np.int32)
+        fv = np.zeros((K, N), bool)
+        # group A: points 0-15 seen by KFs 0,1,2 and the revisit KF 9
+        for k in (0, 1, 2, 9):
+            obs[k, :16] = np.arange(16)
+            fv[k, :16] = True
+        # group B: points 16-31 seen by KFs 3..8
+        for k in range(3, 9):
+            obs[k, :16] = np.arange(16, 32)
+            fv[k, :16] = True
+        pt_valid = np.zeros(P, bool)
+        pt_valid[:32] = True
+        return m._replace(
+            kf_valid=jnp.asarray(kf_valid),
+            kf_obs=jnp.asarray(obs),
+            kf_feat_valid=jnp.asarray(fv),
+            pt_valid=jnp.asarray(pt_valid),
+        )
+
+    def test_revisit_window_picks_old_keyframes(self):
+        from orb_slam3_ros_tpu.models import local_mapping
+
+        m = self._revisit_map()
+        ids, fixed, ok = local_mapping.select_covis_window(
+            m, jnp.asarray(9), 4, 4
+        )
+        ids, fixed, ok = map(np.asarray, (ids, fixed, ok))
+        free = set(ids[:4][ok[:4] & ~fixed[:4]].tolist())
+        fixed_live = set(ids[ok & fixed].tolist())
+        # Free set: the revisit KF + its covisible OLD neighbors (1, 2;
+        # 0 is demoted to fixed as the gauge root).
+        assert 9 in free
+        assert free <= {9, 1, 2}
+        assert 0 in fixed_live  # gauge root fixed
+        # The temporally-recent but covisibility-disjoint KFs 3-8 must
+        # not enter the free set.
+        assert not (free & set(range(3, 9)))
+
+    def test_dead_entries_masked(self):
+        from orb_slam3_ros_tpu.models import local_mapping
+
+        m = self._revisit_map()
+        # Window wider than the covisible set: extra slots must be dead.
+        ids, fixed, ok = local_mapping.select_covis_window(
+            m, jnp.asarray(9), 8, 6
+        )
+        ok = np.asarray(ok)
+        assert int(ok[:8].sum()) == 4  # 9 + {0,1,2}
+        # No live fixed candidates beyond group-B observers of A-points:
+        # group B shares no points with the free set -> all fixed entries
+        # dead.
+        assert int(ok[8:].sum()) == 0
+
+    def test_gauge_always_two_anchors(self):
+        from orb_slam3_ros_tpu.models import local_mapping
+        from orb_slam3_ros_tpu.ops import ba
+        from orb_slam3_ros_tpu.models import local_mapping as lm
+
+        m = self._revisit_map()
+        ids, fixed, ok = local_mapping.select_covis_window(
+            m, jnp.asarray(9), 4, 4
+        )
+        n_anchor = int(np.asarray(ok & fixed).sum())
+        assert n_anchor >= 2
