@@ -96,6 +96,9 @@ class Atlas:
             slam.bg_cur = np.zeros(3, np.float32)
             slam.ba_cur = np.zeros(3, np.float32)
         slam.map = map_state.empty_map(slam.K_cap, slam.N, slam.P_cap)
+        if getattr(slam, "map_dev", None) is not None:
+            slam.map = jax.device_put(slam.map, slam.map_dev)
+            slam._sync_replica()
         slam.n_kf = 0
         slam.n_pts = 0
         slam.init_feats = None
@@ -135,6 +138,9 @@ class Atlas:
                 if int(jax.device_get(res.n_inliers)) >= 30:
                     # switch active map
                     slam.map = am.m
+                    if getattr(slam, "map_dev", None) is not None:
+                        slam.map = jax.device_put(slam.map, slam.map_dev)
+                        slam._sync_replica()
                     slam.n_kf = am.n_kf
                     slam.n_pts = am.n_pts
                     if am.imu is not None:
@@ -256,6 +262,9 @@ class Atlas:
             return False
         base_kf = am.n_kf
         slam.map = merged
+        if getattr(slam, "map_dev", None) is not None:
+            slam.map = jax.device_put(slam.map, slam.map_dev)
+            slam._sync_replica()
         if inertial:
             # Re-index the per-KF IMU blocks: archived blocks keep ids
             # [0, base_kf), current blocks shift to [base_kf, ...).

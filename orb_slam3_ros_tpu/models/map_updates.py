@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import cameras, hamming, matching
 from ..ops.orb import Features
-from .map_state import MapState, obs_matrix, use_dense_gathers
+from .map_state import MapState, covisibility, obs_matrix, use_dense_gathers
 from .tracking import TrackResult, TriangulationResult
 
 
@@ -413,6 +413,38 @@ def cull_keyframes(
     # cadence converges to the same fixpoint.
     best = jnp.argmax(jnp.where(qualifies, frac, -1.0))
     cull = qualifies & (ids == best)
+    return (
+        m._replace(
+            kf_valid=m.kf_valid & ~cull,
+            kf_obs=jnp.where(cull[:, None], -1, m.kf_obs),
+        ),
+        jnp.sum(cull.astype(jnp.int32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("protect_last",))
+def evict_one_keyframe(
+    m: MapState, n_kf: jnp.ndarray, protect_last: int = 4
+) -> tuple[MapState, jnp.ndarray]:
+    """Last-resort slot recycling at capacity. No reference counterpart:
+    reference maps grow without bound (KeyFrameCulling only removes
+    REDUNDANT keyframes, LocalMapping.cc:902); fixed-capacity arrays
+    need a second policy when the live window genuinely fills K_cap.
+    Evict the keyframe least covisible with the recent window (weakest
+    link to where mapping is happening), never slot 0 (gauge root) or
+    the last ``protect_last`` keyframes — degrading to sliding-window
+    odometry over the old territory instead of stalling mapping."""
+    cov = covisibility(m).astype(jnp.float32)  # [K, K]
+    ids = jnp.arange(m.K, dtype=jnp.int32)
+    recent = (m.kf_valid & (ids >= n_kf - protect_last)).astype(jnp.float32)
+    link = jnp.sum(cov * recent[None, :], axis=1)  # [K]
+    cand = m.kf_valid & (ids > 0) & (ids < n_kf - protect_last)
+    # tie-break toward the oldest keyframe
+    score = jnp.where(
+        cand, link + 1e-3 * ids.astype(jnp.float32), jnp.inf
+    )
+    best = jnp.argmin(score)
+    cull = cand & (ids == best)
     return (
         m._replace(
             kf_valid=m.kf_valid & ~cull,

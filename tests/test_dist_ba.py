@@ -71,3 +71,21 @@ class TestDistributedBA:
         np.testing.assert_allclose(
             np.asarray(res_dist.R), np.asarray(res_single.R), atol=1e-4
         )
+
+    def test_realistic_gba_shape(self, rng):
+        """The pipeline's actual global-BA shape (K=64, P=8192, E=65536
+        — BASELINE.md operational target) must run sharded on the
+        8-device mesh, both solvers, with finite results."""
+        import __graft_entry__ as g
+
+        prob = g._toy_problem()  # defaults ARE the realistic shape
+        mesh = dist_ba.make_mesh(n_devices=8)
+        from orb_slam3_ros_tpu.ops import ba_pcg  # noqa: F401
+
+        res = dist_ba.distributed_bundle_adjust_pcg(
+            prob, mesh, n_iters=2, n_cg=20
+        )
+        assert np.isfinite(float(res.cost))
+        res2 = dist_ba.distributed_bundle_adjust(prob, mesh, n_iters=2)
+        assert np.isfinite(float(res2.cost))
+        assert int(res2.n_inliers) > 60000
