@@ -29,8 +29,9 @@ def main():
     from orb_slam3_ros_tpu.utils.evaluate_ate import ate_rmse
 
     H, W = 240, 376
-    n_frames = 60
+    n_frames = 90
     warm = 30
+    chunk = 10
     print(f"bench: rendering {n_frames} frames...", file=sys.stderr, flush=True)
     seq = synth.make_sequence(n_frames=n_frames, height=H, width=W, dt=0.1, seed=3)
     slam = MonoSlam(
@@ -38,16 +39,33 @@ def main():
         max_keyframes=64, max_points=4096,
     )
     t_warm_start = time.time()
-    for i in range(warm):
+    # Warm the per-frame path until the map is up, then the chunked
+    # device-resident loop (compiles the scan program).
+    i = 0
+    while (slam.state != OK or i < 10) and i < warm:
         slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        i += 1
+    while i < warm:
+        j = min(i + chunk, warm)
+        slam.process_frames(
+            [seq.images[k] for k in range(i, j)], seq.timestamps[i:j]
+        )
+        i = j
+    slam.flush()
     print(
         f"bench: warmup done in {time.time()-t_warm_start:.1f}s "
         f"(state_ok={slam.state == OK}, kf={slam.n_kf})",
         file=sys.stderr, flush=True,
     )
     t0 = time.time()
-    for i in range(warm, n_frames):
-        slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+    i = warm
+    while i < n_frames:
+        j = min(i + chunk, n_frames)
+        slam.process_frames(
+            [seq.images[k] for k in range(i, j)], seq.timestamps[i:j]
+        )
+        i = j
+    slam.flush()
     dt = time.time() - t0
     fps = (n_frames - warm) / dt
 

@@ -1,0 +1,194 @@
+"""Device-resident multi-frame tracking loop: `lax.scan` over a chunk of
+frames with the keyframe decision and the full keyframe work under
+`lax.cond` — ONE dispatch and ONE result fetch per chunk.
+
+Why this exists: the reference's per-frame hot path is a function call
+(Tracking::Track, ~0 dispatch cost); here every host->device dispatch
+and device->host fetch crosses the TPU link (measured ~25 ms round trip
+over the tunnel), so a per-frame host loop is latency-bound no matter
+how fast the kernels are. Keeping the steady-state OK loop — predict,
+extract, track, keyframe-decide, map-update — entirely on device makes
+the host cost O(1/chunk) and is the idiomatic XLA shape for the loop
+(static shapes, `lax.scan`, `lax.cond` instead of Python branching).
+
+Host-side rails (initialization, relocalization, loop closing, Atlas,
+capacity management, timestamp-jump segmentation) stay on the host: the
+chunk bails out by flag (`alive`) and the host replays the affected
+frames through the single-frame path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ba, orb
+from . import local_mapping, map_updates, tracking
+from .map_state import MapState
+
+
+class LoopCarry(NamedTuple):
+    m: MapState
+    R: jnp.ndarray  # [3,3] current Tcw
+    t: jnp.ndarray  # [3]
+    vel_R: jnp.ndarray
+    vel_t: jnp.ndarray
+    n_kf: jnp.ndarray  # [] int32
+    n_pts: jnp.ndarray  # [] int32
+    last_kf_fid: jnp.ndarray  # [] int32
+    alive: jnp.ndarray  # [] bool — False after a tracking failure
+
+
+class ChunkOut(NamedTuple):
+    """Per-frame outputs (leading axis = chunk)."""
+
+    R: jnp.ndarray  # [C,3,3] Tcw
+    t: jnp.ndarray  # [C,3]
+    ref: jnp.ndarray  # [C] reference keyframe slot at log time
+    R_cr: jnp.ndarray  # [C,3,3] pose relative to ref KF (rel-traj log)
+    t_cr: jnp.ndarray  # [C,3]
+    n_inliers: jnp.ndarray  # [C]
+    is_kf: jnp.ndarray  # [C] bool
+    alive: jnp.ndarray  # [C] bool — frame was tracked on device
+
+
+def make_chunk_runner(
+    config: orb.ExtractorConfig,
+    cam_params,
+    *,
+    width: int,
+    height: int,
+    kf_every: int,
+    kf_min_inliers: int,
+    ba_window: int,
+    ba_fixed: int,
+    local_ba_iters: int,
+    fuse_neighbors: int,
+    fuse_every: int,
+    stats_every: int,
+    cull_every: int,
+    kf_culling: bool,
+    schedule: tuple,
+    K_cap: int,
+):
+    """Build the jitted chunk program for one pipeline geometry."""
+    n_levels = config.n_levels
+    row_n = config.total_cap
+
+    def _kf_body(m, kf_id, R, t, ts, feats, feat_pt, n_pts):
+        """keyframe_work with cadence gates as device conds (the chunk
+        cannot specialize per-keyframe static flags)."""
+        m = map_updates.insert_keyframe(m, kf_id, R, t, ts, feats, feat_pt)
+        tri = tracking.triangulate_with_ref(m, kf_id, kf_id - 1, cam_params)
+        m, n_new = map_updates.admit_new_points(
+            m, kf_id, kf_id - 1, tri, n_pts,
+            jnp.asarray(m.P, jnp.int32) - n_pts,
+        )
+        if fuse_neighbors > 0:
+            m = jax.lax.cond(
+                (kf_id >= 2) & (kf_id % fuse_every == 0),
+                lambda mm: map_updates.fuse_in_neighbors(
+                    mm, kf_id, cam_params, width, height,
+                    n_neighbors=fuse_neighbors,
+                )[0],
+                lambda mm: mm,
+                m,
+            )
+        window_ids, fixed_mask, entry_valid = (
+            local_mapping.select_covis_window(m, kf_id, ba_window, ba_fixed)
+        )
+        prob, sel = local_mapping.build_local_ba(
+            m, window_ids, fixed_mask, cam_params,
+            bf=jnp.asarray(0.0, jnp.float32), entry_valid=entry_valid,
+        )
+        res = ba.bundle_adjust(
+            prob, n_iters=local_ba_iters, row_n=row_n, rel_tol=1e-3
+        )
+        m = local_mapping.apply_local_ba(m, window_ids, sel, res, entry_valid)
+        m = local_mapping.drop_ba_outlier_obs(m, window_ids, res, entry_valid)
+        m = map_updates.cull_points(m, kf_id + 1)
+        m = jax.lax.cond(
+            kf_id % stats_every == 0,
+            lambda mm: map_updates.refresh_point_stats(mm, n_levels=n_levels),
+            lambda mm: mm,
+            m,
+        )
+        if kf_culling:
+            m = jax.lax.cond(
+                (kf_id >= 4) & (kf_id % cull_every == 0),
+                lambda mm: map_updates.cull_keyframes(
+                    mm, kf_id + 1, n_levels=n_levels
+                )[0],
+                lambda mm: mm,
+                m,
+            )
+        return m, n_new
+
+    def step(c: LoopCarry, x):
+        img, ts, fid = x
+        feats = orb.extract(img, config)
+        R_pred = c.vel_R @ c.R
+        t_pred = c.vel_R @ c.t + c.vel_t
+        res = tracking.track_against_map(
+            c.m, feats, R_pred, t_pred, cam_params, width, height,
+            schedule=schedule,
+        )
+        ok = c.alive & (res.n_inliers >= 15)
+        R_new = jnp.where(ok, res.R, c.R)
+        t_new = jnp.where(ok, res.t, c.t)
+        vel_R = jnp.where(ok, res.R @ c.R.T, c.vel_R)
+        vel_t = jnp.where(ok, res.t - (res.R @ c.R.T) @ c.t, c.vel_t)
+        m = map_updates.update_track_counters(
+            c.m, res.visible_mask & ok, res.found_mask & ok
+        )
+        since = fid - c.last_kf_fid
+        need_kf = (
+            ok
+            & (c.n_kf >= 2)
+            & (c.n_kf < K_cap)
+            & (
+                (since >= kf_every)
+                | ((res.n_inliers < kf_min_inliers) & (since >= 2))
+            )
+        )
+
+        def do_kf(args):
+            m, n_pts = args
+            m2, n_new = _kf_body(
+                m, c.n_kf, R_new, t_new, ts, feats, res.feat_pt, n_pts
+            )
+            return m2, n_pts + n_new
+
+        m, n_pts = jax.lax.cond(
+            need_kf, do_kf, lambda a: a, (m, c.n_pts)
+        )
+        n_kf = jnp.where(need_kf, c.n_kf + 1, c.n_kf)
+        last_kf = jnp.where(need_kf, fid, c.last_kf_fid)
+        # After a keyframe, adopt its BA-refined pose (the sync host path
+        # does the same via the ref-cache update).
+        ref = n_kf - 1
+        R_cur = jnp.where(need_kf, m.kf_R[ref], R_new)
+        t_cur = jnp.where(need_kf, m.kf_t[ref], t_new)
+        R_cr = R_cur @ m.kf_R[ref].transpose()
+        t_cr = t_cur - R_cr @ m.kf_t[ref]
+        out = ChunkOut(
+            R=R_cur, t=t_cur, ref=ref, R_cr=R_cr, t_cr=t_cr,
+            n_inliers=jnp.where(c.alive, res.n_inliers, 0),
+            is_kf=need_kf, alive=ok,
+        )
+        return (
+            LoopCarry(
+                m=m, R=R_cur, t=t_cur, vel_R=vel_R, vel_t=vel_t,
+                n_kf=n_kf, n_pts=n_pts, last_kf_fid=last_kf, alive=ok,
+            ),
+            out,
+        )
+
+    @jax.jit
+    def run_chunk(carry: LoopCarry, imgs, tss, fids):
+        return jax.lax.scan(step, carry, (imgs, tss, fids))
+
+    return run_chunk

@@ -16,6 +16,7 @@ State machine: NOT_INITIALIZED -> (two-view init) -> OK -> (track loss)
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax
@@ -144,6 +145,12 @@ class MonoSlam:
         # tracking/mapping thread overlap (System.cc:178: stages run
         # concurrently, each on the freshest state available).
         self.pipelined = pipelined
+        # Result-prefetch thread: device_get over the TPU tunnel costs a
+        # full ~25 ms round trip and copy_to_host_async does NOT prefetch
+        # on this backend (measured) — so every result fetch is handed to
+        # one IO thread at dispatch time and collected a frame later,
+        # hiding the round trip behind the next frame's compute.
+        self._io = ThreadPoolExecutor(max_workers=1)
         self._pending = None  # in-flight frame: dict(feats, res, ts, idx)
         self._last2 = None  # (R, t) device handles of frame i-2
         self._kf_async = None  # deferred keyframe-work results
@@ -374,7 +381,7 @@ class MonoSlam:
         """Frame trajectory recomposed against the CURRENT keyframe poses
         (reference SaveTrajectoryEuRoC semantics, System.cc:646): all
         loop/BA/IMU-init corrections applied retroactively."""
-        self._drain_pending()
+        self.flush()
         if not self.rel_traj and not self.frozen_traj:
             return list(self.trajectory)
         return list(self.frozen_traj) + self._compose_rel()
@@ -476,6 +483,7 @@ class MonoSlam:
         In pipelined mode the returned pose is the PREVIOUS frame's (one
         frame of latency); call ``flush()`` (or ``get_trajectory``, which
         flushes) to drain the last in-flight frame."""
+        self._drain_chunk()
         self._check_ts_jump(ts)
         if self.pipelined:
             return self._process_frame_pipelined(img, ts)
@@ -547,12 +555,13 @@ class MonoSlam:
                     schedule=self._current_schedule(),
                 )
                 self._last2 = (jnp.asarray(self.R_cur), jnp.asarray(self.t_cur))
-            # Start the device->host copies now; they complete while the
-            # next frame computes.
-            for h in (res.n_inliers, res.R, res.t):
-                h.copy_to_host_async()
+            # Hand the device->host fetch to the IO thread now; it
+            # completes while the next frame computes.
+            fut = self._io.submit(
+                jax.device_get, (res.n_inliers, res.R, res.t)
+            )
             dispatched = {"feats": feats, "res": res, "ts": ts,
-                          "idx": self.frame_id}
+                          "idx": self.frame_id, "fut": fut}
             t0 = self._tic("dispatch", t0)
             out = self._drain_pending()
         else:
@@ -581,6 +590,151 @@ class MonoSlam:
         self.frame_id += 1
         return out
 
+    # ------------------------------------------------------------------
+    # Device-resident chunked frame loop (see models/device_loop.py):
+    # the steady-state OK path processes `chunk` frames per dispatch with
+    # ONE result fetch, hiding the TPU-link round trip that bounds the
+    # per-frame host loop. Falls back to process_frame for every
+    # non-steady situation (init, loss, reloc, loop closing, Atlas,
+    # capacity, timestamp jumps).
+    def _chunk_runner(self):
+        r = getattr(self, "_chunk_run", None)
+        if r is None:
+            from . import device_loop
+
+            r = device_loop.make_chunk_runner(
+                self.config, self.cam_params,
+                width=self.width, height=self.height,
+                kf_every=self.kf_every, kf_min_inliers=self.kf_min_inliers,
+                ba_window=self.ba_window, ba_fixed=self.ba_fixed,
+                local_ba_iters=self.local_ba_iters,
+                fuse_neighbors=self.fuse_neighbors,
+                fuse_every=self.fuse_every, stats_every=self.stats_every,
+                cull_every=self.cull_every, kf_culling=self.kf_culling,
+                schedule=self._sched_lean, K_cap=self.K_cap,
+            )
+            self._chunk_run = r
+        return r
+
+    def _chunkable(self) -> bool:
+        return (
+            self.state == OK
+            and self.covis_ba
+            and self.loop_closer is None
+            and self.atlas is None
+            and self._gba is None
+            and self.track_window is None
+            and type(self)._run_local_ba is MonoSlam._run_local_ba
+            and self.n_kf >= 2
+        )
+
+    def process_frames(self, imgs, tss) -> None:
+        """Track a batch of frames through the device-resident loop
+        (poses appear in the trajectory after the NEXT call or flush —
+        chunk results are prefetched one chunk behind). Falls back to
+        per-frame processing whenever the chunked fast path does not
+        apply."""
+        import numpy as _np
+
+        self._drain_chunk()
+        if not self._chunkable():
+            for im, ts in zip(imgs, tss):
+                self.process_frame(im, float(ts))
+            return
+        self.flush()  # settle the single-frame pipeline's async state
+        if self.n_kf >= self.K_cap - 1 - len(tss) // max(self.kf_every, 1):
+            self._make_room()
+        tss = _np.asarray(tss, _np.float64)
+        last = getattr(self, "_last_frame_ts", None)
+        gaps = _np.diff(_np.concatenate([[last if last is not None else tss[0]], tss]))
+        if _np.any(gaps > self.ts_jump_threshold):
+            for im, ts in zip(imgs, tss):
+                self.process_frame(im, float(ts))
+            return
+        self._last_frame_ts = float(tss[-1])
+        from .device_loop import LoopCarry
+
+        carry = LoopCarry(
+            m=self.map,
+            R=jnp.asarray(self.R_cur), t=jnp.asarray(self.t_cur),
+            vel_R=jnp.asarray(self.vel_R), vel_t=jnp.asarray(self.vel_t),
+            n_kf=jnp.asarray(self.n_kf, jnp.int32),
+            n_pts=jnp.asarray(self.n_pts, jnp.int32),
+            last_kf_fid=jnp.asarray(self.last_kf_frame, jnp.int32),
+            alive=jnp.asarray(True),
+        )
+        fids = jnp.arange(len(tss), dtype=jnp.int32) + self.frame_id
+        carry2, outs = self._chunk_runner()(
+            carry, jnp.asarray(_np.stack(imgs), jnp.float32),
+            jnp.asarray(tss, jnp.float32), fids,
+        )
+        self.map = carry2.m
+        fetch = (
+            outs, carry2.n_kf, carry2.n_pts, carry2.last_kf_fid,
+            carry2.R, carry2.t, carry2.vel_R, carry2.vel_t, carry2.alive,
+        )
+        self._chunk_pending = {
+            "fut": self._io.submit(jax.device_get, fetch),
+            "tss": tss, "imgs": imgs, "fid0": self.frame_id,
+        }
+        self.frame_id += len(tss)
+
+    def _drain_chunk(self):
+        """Absorb the previous chunk's (prefetched) results into host
+        bookkeeping: trajectory logs, counters, state transitions."""
+        p = getattr(self, "_chunk_pending", None)
+        if p is None:
+            return
+        self._chunk_pending = None
+        (outs, n_kf, n_pts, last_kf, R, t, vel_R, vel_t, alive) = (
+            p["fut"].result()
+        )
+        self.n_kf = int(n_kf)
+        self._n_pts = int(n_pts)
+        self.last_kf_frame = int(last_kf)
+        self.R_cur = np.asarray(R)
+        self.t_cur = np.asarray(t)
+        self.vel_R = np.asarray(vel_R)
+        self.vel_t = np.asarray(vel_t)
+        self._ref_cache = None
+        n_dead = 0
+        for i in range(len(p["tss"])):
+            if not bool(outs.alive[i]):
+                n_dead += 1
+                continue
+            ts = float(p["tss"][i])
+            Rcw = np.asarray(outs.R[i])
+            tcw = np.asarray(outs.t[i])
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = Rcw.T
+            T[:3, 3] = -Rcw.T @ tcw
+            self.trajectory.append((ts, T))
+            self.rel_traj.append(
+                (ts, int(outs.ref[i]), np.asarray(outs.R_cr[i]),
+                 np.asarray(outs.t_cr[i]))
+            )
+            if self.on_frame is not None:
+                self.on_frame(dict(
+                    event="frame", ts=ts, Twc=T,
+                    n_inliers=int(outs.n_inliers[i]), state=OK,
+                    n_kf=self.n_kf,
+                ))
+                if bool(outs.is_kf[i]):
+                    self.on_frame(dict(event="keyframe", ts=ts, kf_id=-1))
+        if not bool(alive):
+            # Tracking failed at some frame: mark LOST and replay the
+            # dead tail through the single-frame path (relocalization,
+            # Atlas policies live there).
+            self.state = LOST
+            k = len(p["tss"]) - n_dead
+            saved = self.frame_id
+            self.frame_id = p["fid0"] + k
+            try:
+                for i in range(k, len(p["tss"])):
+                    self.process_frame(p["imgs"][i], float(p["tss"][i]))
+            finally:
+                self.frame_id = max(saved, self.frame_id)
+
     def _drain_pending(self):
         """Process the previous frame's (already host-bound) result."""
         self._apply_kf_async()
@@ -598,14 +752,18 @@ class MonoSlam:
         saved = self.frame_id
         self.frame_id = p["idx"]  # KF cadence decisions use frame index
         try:
-            out = self._track_post(p["feats"], p["res"], p["ts"])
+            out = self._track_post(
+                p["feats"], p["res"], p["ts"], fetched=p.get("fut")
+            )
         finally:
             self.frame_id = saved
         return out
 
     def flush(self):
-        """Drain the in-flight frame, deferred keyframe results, and any
-        in-flight global BA (end of sequence / before bulk map reads)."""
+        """Drain the in-flight frame, deferred keyframe results, any
+        in-flight chunk, and any in-flight global BA (end of sequence /
+        before bulk map reads)."""
+        self._drain_chunk()
         out = self._drain_pending()
         self._apply_kf_async(force=True)
         while self._gba is not None:
@@ -650,21 +808,16 @@ class MonoSlam:
         g["prob"] = g["prob"]._replace(R=res.R, t=res.t, X=res.X)
         g["res"] = res
         g["done"] += it
-        for h in (res.R, res.t, res.X):
-            h.copy_to_host_async()
+        # Pacing signal only: a scalar fetch on the IO thread resolves
+        # when the chunk has executed (the big arrays stay on device).
+        g["fut"] = self._io.submit(jax.device_get, res.cost)
 
     def _poll_gba(self, force: bool = False):
         if self._gba is None:
             return
         g = self._gba
-        if not force:
-            try:
-                if not all(
-                    h.is_ready() for h in (g["res"].R, g["res"].t, g["res"].X)
-                ):
-                    return
-            except AttributeError:
-                pass
+        if not force and not g["fut"].done():
+            return
         if g["abort"] or g["done"] >= g["target"]:
             self._finish_gba()
         else:
@@ -871,9 +1024,13 @@ class MonoSlam:
         )
         return self._track_post(feats, res, ts)
 
-    def _track_post(self, feats, res, ts):
-        # One host sync per frame: pose + inlier count together.
-        n_inl, R_new, t_new = jax.device_get((res.n_inliers, res.R, res.t))
+    def _track_post(self, feats, res, ts, fetched=None):
+        # One host sync per frame: pose + inlier count together
+        # (prefetched on the IO thread in pipelined mode).
+        if fetched is not None:
+            n_inl, R_new, t_new = fetched.result()
+        else:
+            n_inl, R_new, t_new = jax.device_get((res.n_inliers, res.R, res.t))
         n_inl = int(n_inl)
         if n_inl < 15:
             self.state = LOST
@@ -990,39 +1147,77 @@ class MonoSlam:
         if self.on_frame is not None:
             self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))
         feats, feat_pt = self._to_map_dev((feats, track_res.feat_pt))
-        self.map = map_updates.insert_keyframe(
-            self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
-            jnp.asarray(self.t_cur), jnp.asarray(ts, jnp.float32),
-            feats, feat_pt,
+        do_fuse = (
+            self.fuse_neighbors > 0 and kf_id >= 2
+            and kf_id % self.fuse_every == 0
         )
-        self.n_kf += 1
-        self.last_kf_frame = self.frame_id
+        do_stats = kf_id % self.stats_every == 0
+        do_cull = (
+            self.kf_culling and kf_id >= 4 and kf_id % self.cull_every == 0
+        )
+        # Fused path: the whole LocalMapping iteration as ONE device
+        # program (kf_work.keyframe_work) — a single tunnel dispatch per
+        # keyframe. Only valid when this class uses the base covisibility
+        # local BA; pipelines with their own BA flavor (VI-BA, stereo
+        # subclass hooks) take the step-by-step path below.
+        fused = (
+            self.covis_ba
+            and kf_id >= 2
+            and type(self)._run_local_ba is MonoSlam._run_local_ba
+        )
+        if fused:
+            from . import kf_work
 
-        # Triangulate new points against the previous keyframe and admit
-        # them into free slots, all on device.
-        tri = tracking.triangulate_with_ref(
-            self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1),
-            self.cam_params,
-        )
-        self.map, n_new = map_updates.admit_new_points(
-            self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1), tri,
-            jnp.asarray(self.n_pts), jnp.asarray(self.P_cap - self.n_pts),
-        )
-        if self.fuse_neighbors > 0 and kf_id >= 2 and kf_id % self.fuse_every == 0:
-            self.map, _ = map_updates.fuse_in_neighbors(
-                self.map, jnp.asarray(kf_id), self.cam_params,
-                self.width, self.height, n_neighbors=self.fuse_neighbors,
+            self.map, n_new = kf_work.keyframe_work(
+                self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
+                jnp.asarray(self.t_cur), jnp.asarray(ts, jnp.float32),
+                feats, feat_pt, jnp.asarray(self.n_pts),
+                jnp.asarray(self.P_cap - self.n_pts), self.cam_params,
+                jnp.asarray(self.bf, jnp.float32),
+                w_free=self.ba_window, w_fixed=self.ba_fixed,
+                n_iters=self.local_ba_iters, row_n=self.N,
+                n_levels=self.config.n_levels,
+                fuse_neighbors=self.fuse_neighbors,
+                do_fuse=do_fuse, do_stats=do_stats, do_cull=do_cull,
+                width=self.width, height=self.height,
             )
-        self._run_local_ba(n_iters=self.local_ba_iters)
-        self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
-        if kf_id % self.stats_every == 0:
-            self.map = map_updates.refresh_point_stats(
-                self.map, n_levels=self.config.n_levels
+            self.n_kf += 1
+            self.last_kf_frame = self.frame_id
+        else:
+            self.map = map_updates.insert_keyframe(
+                self.map, jnp.asarray(kf_id), jnp.asarray(self.R_cur),
+                jnp.asarray(self.t_cur), jnp.asarray(ts, jnp.float32),
+                feats, feat_pt,
             )
-        if self.kf_culling and kf_id >= 4 and kf_id % self.cull_every == 0:
-            self.map, _ = map_updates.cull_keyframes(
-                self.map, jnp.asarray(self.n_kf), n_levels=self.config.n_levels
+            self.n_kf += 1
+            self.last_kf_frame = self.frame_id
+
+            # Triangulate new points against the previous keyframe and
+            # admit them into free slots, all on device.
+            tri = tracking.triangulate_with_ref(
+                self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1),
+                self.cam_params,
             )
+            self.map, n_new = map_updates.admit_new_points(
+                self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1), tri,
+                jnp.asarray(self.n_pts), jnp.asarray(self.P_cap - self.n_pts),
+            )
+            if do_fuse:
+                self.map, _ = map_updates.fuse_in_neighbors(
+                    self.map, jnp.asarray(kf_id), self.cam_params,
+                    self.width, self.height, n_neighbors=self.fuse_neighbors,
+                )
+            self._run_local_ba(n_iters=self.local_ba_iters)
+            self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
+            if do_stats:
+                self.map = map_updates.refresh_point_stats(
+                    self.map, n_levels=self.config.n_levels
+                )
+            if do_cull:
+                self.map, _ = map_updates.cull_keyframes(
+                    self.map, jnp.asarray(self.n_kf),
+                    n_levels=self.config.n_levels,
+                )
         if (
             self.pipelined
             and self.loop_closer is None
@@ -1035,9 +1230,7 @@ class MonoSlam:
             # once the copies have landed; until then the tracked
             # (pre-BA) pose serves as the provisional ref-cache entry.
             handles = (n_new, self.map.kf_R[kf_id], self.map.kf_t[kf_id])
-            for h in handles:
-                h.copy_to_host_async()
-            self._kf_async = (kf_id, handles)
+            self._kf_async = (kf_id, self._io.submit(jax.device_get, handles))
             self._set_ref_cache(kf_id, self.R_cur, self.t_cur)
             self._start_replica_copy()
             return
@@ -1068,15 +1261,11 @@ class MonoSlam:
         never blocking the frame loop on the tunnel."""
         if self._kf_async is None:
             return
-        kf_id, handles = self._kf_async
-        if not force:
-            try:
-                if not all(h.is_ready() for h in handles):
-                    return
-            except AttributeError:
-                pass  # backend without is_ready: treat as landed
+        kf_id, fut = self._kf_async
+        if not force and not fut.done():
+            return
         self._kf_async = None
-        n_new, R_ref, t_ref = jax.device_get(handles)
+        n_new, R_ref, t_ref = fut.result()
         self.n_pts += int(n_new)
         if self.n_kf - 1 == kf_id and (
             self._ref_cache is None or self._ref_cache[0] == kf_id
@@ -1118,7 +1307,9 @@ class MonoSlam:
             self.map, window_ids, fixed_mask, self.cam_params,
             bf=jnp.asarray(self.bf, jnp.float32), entry_valid=entry_valid,
         )
-        res = ba.bundle_adjust(prob, n_iters=n_iters, row_n=self.N)
+        res = ba.bundle_adjust(
+            prob, n_iters=n_iters, row_n=self.N, rel_tol=1e-3
+        )
         self.map = local_mapping.apply_local_ba(
             self.map, window_ids, sel, res, entry_valid
         )

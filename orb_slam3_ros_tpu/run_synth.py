@@ -30,11 +30,17 @@ def main(argv=None):
     ap.add_argument("--loop-closing", action="store_true")
     ap.add_argument("--track-window", type=int, default=None)
     ap.add_argument("--platform", default=None, help="cpu to force CPU backend")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="process frames through the device-resident "
+                    "chunked loop, N frames per dispatch (0 = per-frame)")
     ap.add_argument("--native-feed", action="store_true",
                     help="feed frames through the C++ measurement-sync "
                          "runtime from a producer thread (the reference's "
                          "ROS callback-thread topology)")
     ap.add_argument("--save-traj", default=None, help="write TUM-format trajectory")
+    ap.add_argument("--save-map", default=None,
+                    help="write a whole-session checkpoint (npz + json "
+                    "manifest; the save_map service role, srv/SaveMap.srv)")
     ap.add_argument("--json", action="store_true", help="print one summary JSON line")
     ap.add_argument("--stream", default=None,
                     help="write per-frame pose/state events to this JSONL "
@@ -104,6 +110,22 @@ def main(argv=None):
             tracked += T is not None
             done += 1
         th.join()
+    elif args.chunk > 0:
+        i = 0
+        from orb_slam3_ros_tpu.models.system import OK as _OK
+
+        while slam.state != _OK and i < args.frames:
+            T = slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+            tracked += T is not None
+            i += 1
+        while i < args.frames:
+            j = min(i + args.chunk, args.frames)
+            slam.process_frames(
+                [seq.images[k] for k in range(i, j)], seq.timestamps[i:j]
+            )
+            i = j
+        slam.flush()
+        tracked = len(slam.trajectory)
     else:
         for i in range(args.frames):
             T = slam.process_frame(seq.images[i], float(seq.timestamps[i]))
@@ -125,6 +147,12 @@ def main(argv=None):
         else (float("inf"), 0, 1.0)
     )
 
+    if args.save_map:
+        from orb_slam3_ros_tpu.utils import checkpoint
+
+        digest = checkpoint.save_atlas(args.save_map, slam)
+        print(f"map checkpoint: {args.save_map}.npz md5={digest}",
+              file=sys.stderr, flush=True)
     if args.save_traj:
         from orb_slam3_ros_tpu.utils.trajectory import save_tum
 
