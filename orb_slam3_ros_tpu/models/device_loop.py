@@ -73,6 +73,7 @@ def make_chunk_runner(
     kf_culling: bool,
     schedule: tuple,
     K_cap: int,
+    track_cap: int | None = None,
 ):
     """Build the jitted chunk program for one pipeline geometry."""
     n_levels = config.n_levels
@@ -129,12 +130,14 @@ def make_chunk_runner(
 
     def step(c: LoopCarry, x):
         img, ts, fid = x
-        feats = orb.extract(img, config)
+        # uint8 frames (real camera format) upload at 1/4 the f32 bytes;
+        # extraction math is f32 either way.
+        feats = orb.extract(img.astype(jnp.float32), config)
         R_pred = c.vel_R @ c.R
         t_pred = c.vel_R @ c.t + c.vel_t
         res = tracking.track_against_map(
             c.m, feats, R_pred, t_pred, cam_params, width, height,
-            schedule=schedule,
+            schedule=schedule, track_cap=track_cap,
         )
         ok = c.alive & (res.n_inliers >= 15)
         R_new = jnp.where(ok, res.R, c.R)

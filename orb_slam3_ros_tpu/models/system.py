@@ -86,8 +86,19 @@ class MonoSlam:
         ts_jump_threshold: float = 1.0,
         covis_ba: bool = True,
         devices: Optional[tuple] = None,
+        track_cap: Optional[int] = None,
+        transfer_uint8: bool = False,
         seed: int = 0,
     ):
+        # ``track_cap``: bound per-frame matching to the top-N candidate
+        # points under the predicted pose (local-map tracking, see
+        # tracking.track_against_map) — the match matrices and pose-opt
+        # edge tables shrink by P_cap/track_cap.
+        self.track_cap = track_cap
+        # ``transfer_uint8``: upload chunk frames as uint8 (the real
+        # camera format; EuRoC images ARE 8-bit) — 1/4 the link bytes of
+        # f32; extraction converts on device.
+        self.transfer_uint8 = transfer_uint8
         # ``covis_ba``: select the local-BA window by covisibility with
         # the newest keyframe (the reference's local window) instead of
         # the temporal last-W keyframes — matters on revisits, where the
@@ -239,7 +250,7 @@ class MonoSlam:
             res = tracking.track_against_map(
                 m, feats, R_pred, t_pred, self.cam_params,
                 self.width, self.height, pt_mask=pt_mask,
-                schedule=schedule,
+                schedule=schedule, track_cap=self.track_cap,
             )
             return feats, res
 
@@ -612,6 +623,7 @@ class MonoSlam:
                 fuse_every=self.fuse_every, stats_every=self.stats_every,
                 cull_every=self.cull_every, kf_culling=self.kf_culling,
                 schedule=self._sched_lean, K_cap=self.K_cap,
+                track_cap=self.track_cap,
             )
             self._chunk_run = r
         return r
@@ -665,7 +677,12 @@ class MonoSlam:
         )
         fids = jnp.arange(len(tss), dtype=jnp.int32) + self.frame_id
         carry2, outs = self._chunk_runner()(
-            carry, jnp.asarray(_np.stack(imgs), jnp.float32),
+            carry,
+            jnp.asarray(
+                _np.clip(_np.stack(imgs), 0, 255).astype(_np.uint8)
+                if self.transfer_uint8 else
+                _np.stack(imgs).astype(_np.float32)
+            ),
             jnp.asarray(tss, jnp.float32), fids,
         )
         self.map = carry2.m

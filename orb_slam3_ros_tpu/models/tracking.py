@@ -123,7 +123,9 @@ def _match_and_pose(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "scale", "predict_scale", "schedule"),
+    static_argnames=(
+        "width", "height", "scale", "predict_scale", "schedule", "track_cap"
+    ),
 )
 def track_against_map(
     m: MapState,
@@ -137,6 +139,7 @@ def track_against_map(
     pt_mask: jnp.ndarray | None = None,
     predict_scale: bool = False,
     schedule: tuple = None,
+    track_cap: int | None = None,
 ) -> TrackResult:
     """Coarse-to-fine project/match/optimize against the full point table.
 
@@ -144,6 +147,15 @@ def track_against_map(
     first pass uses relaxed frustum gates and plays the reference's
     TrackWithMotionModel role (radius th=7..15 on last-frame points);
     later passes are the TrackLocalMap refinement (th=1..3).
+
+    ``track_cap``: compact the candidate set to the top-``track_cap``
+    points by frustum visibility under the predicted pose (ties broken
+    toward recent points) before matching — the role of the reference's
+    LOCAL-map tracking (Tracking::UpdateLocalPoints builds mvpLocalMapPoints
+    from the covisible keyframes, Tracking.cc:3302), which bounds the
+    match cost by the local map size instead of the whole-map capacity.
+    Every [cap, N] distance matrix and every pose-opt edge table shrinks
+    by P/track_cap. None = whole table (small maps / relocalization).
     """
     # Unlike the reference's grid-bucket search (whose cost grows with
     # the window, hence th=7..15 and the separate TrackReferenceKeyFrame
@@ -154,6 +166,35 @@ def track_against_map(
         schedule = SCHEDULE_DENSE
     if pt_mask is not None:
         m = m._replace(pt_valid=m.pt_valid & pt_mask)
+    P_full = m.P
+    sel = None
+    if track_cap is not None and track_cap < P_full:
+        # Visibility under the predicted pose ranks candidates; recency
+        # breaks ties so a full frustum prefers the freshest points.
+        _, vis, _ = _project_points(
+            m, R_pred, t_pred, cam_params, width, height, scale=scale,
+            margin=20.0, band_lo=0.4, band_hi=2.5, view_min=0.0,
+        )
+        P32 = jnp.float32(P_full)
+        score = (
+            vis.astype(jnp.float32) * 2.0
+            + m.pt_valid.astype(jnp.float32)
+            + m.pt_first_kf.astype(jnp.float32) / (P32 * 4.0)
+        )
+        _, sel = jax.lax.top_k(score, track_cap)
+        sub = m._replace(
+            pt_valid=m.pt_valid[sel],
+            pt_X=m.pt_X[sel],
+            pt_desc_sign=m.pt_desc_sign[sel],
+            pt_level=m.pt_level[sel],
+            pt_found=m.pt_found[sel],
+            pt_visible=m.pt_visible[sel],
+            pt_first_kf=m.pt_first_kf[sel],
+            pt_normal=m.pt_normal[sel],
+            pt_min_dist=m.pt_min_dist[sel],
+            pt_max_dist=m.pt_max_dist[sel],
+        )
+        m = sub
     radius0, rounds0, iters0 = schedule[0]
     res, _, _ = _match_and_pose(
         m, feats, R_pred, t_pred, cam_params, width, height,
@@ -171,17 +212,21 @@ def track_against_map(
     N = feats.xy.shape[0]
     keep = (idx2 >= 0) & res2.inlier
     fidx = jnp.clip(idx2, 0, N - 1)
+    pt_ids = jnp.arange(P, dtype=jnp.int32) if sel is None else sel
     feat_pt = jnp.full((N,), -1, jnp.int32)
-    feat_pt = feat_pt.at[fidx].max(
-        jnp.where(keep, jnp.arange(P, dtype=jnp.int32), -1)
-    )
+    feat_pt = feat_pt.at[fidx].max(jnp.where(keep, pt_ids, -1))
+    if sel is None:
+        visible_mask, found_mask = proj_ok, keep
+    else:
+        visible_mask = jnp.zeros((P_full,), bool).at[sel].max(proj_ok)
+        found_mask = jnp.zeros((P_full,), bool).at[sel].max(keep)
     return TrackResult(
         R=res2.R,
         t=res2.t,
         feat_pt=feat_pt,
         n_inliers=res2.n_inliers,
-        visible_mask=proj_ok,
-        found_mask=keep,
+        visible_mask=visible_mask,
+        found_mask=found_mask,
     )
 
 
