@@ -195,3 +195,74 @@ def make_chunk_runner(
         return jax.lax.scan(step, carry, (imgs, tss, fids))
 
     return run_chunk
+
+
+# Host-fetch packing: a device_get over the TPU tunnel costs a full
+# round trip PER ARRAY LEAF (~50 ms each, measured), so fetching the
+# 17-leaf (ChunkOut, LoopCarry-scalars) pytree costs ~850 ms/chunk —
+# 5x the chunk's compute. Pack everything into ONE f32 vector on device
+# (ints < 2^24 are exact in f32) and unpack on the host.
+
+_PF_COLS = 28  # per-frame: R(9) t(3) R_cr(9) t_cr(3) ref n_inl is_kf alive
+_SC_LEN = 28  # scalars: R(9) t(3) vel_R(9) vel_t(3) n_kf n_pts last_kf alive
+
+
+@jax.jit
+def pack_chunk_result(outs: ChunkOut, c: LoopCarry) -> jnp.ndarray:
+    """[C*26 + 28] f32: one-fetch encoding of (per-frame outs, end carry)."""
+    C = outs.ref.shape[0]
+    f32 = jnp.float32
+    per_frame = jnp.concatenate(
+        [
+            outs.R.reshape(C, 9),
+            outs.t,
+            outs.R_cr.reshape(C, 9),
+            outs.t_cr,
+            outs.ref[:, None].astype(f32),
+            outs.n_inliers[:, None].astype(f32),
+            outs.is_kf[:, None].astype(f32),
+            outs.alive[:, None].astype(f32),
+        ],
+        axis=1,
+    )  # [C, _PF_COLS]
+    scal = jnp.concatenate(
+        [
+            c.R.reshape(9), c.t, c.vel_R.reshape(9), c.vel_t,
+            jnp.stack([
+                c.n_kf.astype(f32), c.n_pts.astype(f32),
+                c.last_kf_fid.astype(f32), c.alive.astype(f32),
+            ]),
+        ]
+    )  # [28]
+    return jnp.concatenate([per_frame.reshape(-1), scal])
+
+
+def unpack_chunk_result(buf, C: int):
+    """Inverse of pack_chunk_result on the host. Returns
+    (per_frame dict, scalars dict) of numpy values."""
+    import numpy as np
+
+    buf = np.asarray(buf)
+    pf = buf[: C * _PF_COLS].reshape(C, _PF_COLS)
+    sc = buf[C * _PF_COLS:]
+    per_frame = dict(
+        R=pf[:, 0:9].reshape(C, 3, 3),
+        t=pf[:, 9:12],
+        R_cr=pf[:, 12:21].reshape(C, 3, 3),
+        t_cr=pf[:, 21:24],
+        ref=pf[:, 24].astype(np.int64),
+        n_inliers=pf[:, 25].astype(np.int64),
+        is_kf=pf[:, 26] > 0.5,
+        alive=pf[:, 27] > 0.5,
+    )
+    scalars = dict(
+        R=sc[0:9].reshape(3, 3),
+        t=sc[9:12],
+        vel_R=sc[12:21].reshape(3, 3),
+        vel_t=sc[21:24],
+        n_kf=int(sc[24]),
+        n_pts=int(sc[25]),
+        last_kf_fid=int(sc[26]),
+        alive=sc[27] > 0.5,
+    )
+    return per_frame, scalars

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops import imu as imu_ops
 from ..ops import lie, viba
+from ..utils import obslog
 from . import local_mapping, map_updates, tracking
 from .system import LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, MonoSlam
 
@@ -108,6 +109,66 @@ class InertialSlam(MonoSlam):
             lambda a, g, d, b: imu_ops.preintegrate(a, g, d, b, self.calib)
         )
         self._jit_predict = jax.jit(imu_ops.predict_state)
+        # Bad-IMU bailout (mbBadImu -> ResetActiveMap,
+        # LocalMapping.cc:138-146 / Tracking.cc:1841-1846): a divergent
+        # IMU solve resets the active map instead of corrupting it.
+        self.bad_imu_resets = 0
+
+    # ------------------------------------------------------------------
+    def _check_bad_imu(self) -> bool:
+        """Detect a divergent inertial solve from the freshly fetched host
+        state (non-finite, or physically impossible velocity/bias) and
+        reset the active map — the reference's ``mbBadImu`` path. Returns
+        True if a reset happened."""
+        bad = (
+            not np.all(np.isfinite(self.v_cur))
+            or not np.all(np.isfinite(self.bg_cur))
+            or not np.all(np.isfinite(self.ba_cur))
+            or not np.all(np.isfinite(self.t_cur))
+            or float(np.linalg.norm(self.v_cur)) > 50.0
+            or float(np.linalg.norm(self.bg_cur)) > 2.0
+            or float(np.linalg.norm(self.ba_cur)) > 20.0
+        )
+        if not bad:
+            return False
+        self.bad_imu_resets += 1
+        obslog.log(
+            f"bad IMU solve (v={self.v_cur}, bg={self.bg_cur}, "
+            f"ba={self.ba_cur}) — resetting active map", obslog.NORMAL,
+        )
+        self._reset_active_map()
+        return True
+
+    def _reset_active_map(self):
+        """ResetActiveMap (System/Tracking reset path): fresh empty map,
+        cleared IMU side-state; archived Atlas maps are untouched."""
+        from . import map_state
+        from .system import NOT_INITIALIZED
+
+        self.kf_imu_acc[:] = 0
+        self.kf_imu_gyro[:] = 0
+        self.kf_imu_dts[:] = 0
+        self.imu_initialized = False
+        self.imu_stage = 0
+        self.chain_breaks = set()
+        self.v_cur = np.zeros(3, np.float32)
+        self.bg_cur = np.zeros(3, np.float32)
+        self.ba_cur = np.zeros(3, np.float32)
+        self._vi_anchor = None
+        self._vi_prior = None
+        self.map = map_state.empty_map(self.K_cap, self.N, self.P_cap)
+        if getattr(self, "map_dev", None) is not None:
+            self.map = jax.device_put(self.map, self.map_dev)
+            self._sync_replica()
+        self.n_kf = 0
+        self.n_pts = 0
+        self.init_feats = None
+        self.R_cur = np.eye(3, dtype=np.float32)
+        self.t_cur = np.zeros(3, np.float32)
+        self.vel_R = np.eye(3, dtype=np.float32)
+        self.vel_t = np.zeros(3, np.float32)
+        self.state = NOT_INITIALIZED
+        self._ref_cache = None
 
     # ------------------------------------------------------------------
     def process_frame(self, img, ts: float, acc=None, gyro=None, dts=None):
@@ -467,7 +528,7 @@ class InertialSlam(MonoSlam):
             jnp.asarray(self.kf_imu_gyro[blk_ids]),
             jnp.asarray(self.kf_imu_dts[blk_ids]),
             jnp.asarray(np.asarray(edge_ok, bool)),
-            self.calib, self.cam_params,
+            self.calib, self.cam_params, bf=self.bf,
         )
         return prob, window_ids
 
@@ -524,6 +585,7 @@ class InertialSlam(MonoSlam):
         # anchor/prior (re-derived from host state next frame).
         self._vi_anchor = None
         self._vi_prior = None
+        self._check_bad_imu()
 
     def _run_vi_ba(self, window, n_iters, bias_prior_g=0.0, bias_prior_a=0.0):
         if self.n_kf < 2:
@@ -559,7 +621,7 @@ class InertialSlam(MonoSlam):
         prob = local_mapping.build_vi_ba(
             self.map, window_ids, jnp.asarray(np.asarray(fixed, bool)),
             acc_w, gyro_w, dts_w, jnp.asarray(np.asarray(edge_ok, bool)),
-            self.calib, self.cam_params,
+            self.calib, self.cam_params, bf=self.bf,
         )
         res = viba.vi_bundle_adjust(
             prob, n_iters=n_iters,
@@ -578,6 +640,8 @@ class InertialSlam(MonoSlam):
         self.bg_cur = np.asarray(bg)
         self.ba_cur = np.asarray(ba)
         self._set_ref_cache(kf_last, R_ref, t_ref)
+        if self._check_bad_imu():
+            return
         # BA moved keyframe poses: the per-frame VI anchor/prior are stale.
         self._vi_anchor = None
         self._vi_prior = None

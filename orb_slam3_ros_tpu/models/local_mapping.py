@@ -238,7 +238,8 @@ def build_global_ba(m: MapState, n_kf: jnp.ndarray, cam_params: jnp.ndarray,
 
 @jax.jit
 def apply_global_ba_partial(
-    m: MapState, res: ba.BAResult, n_kf0: jnp.ndarray
+    m: MapState, res: ba.BAResult, n_kf0: jnp.ndarray,
+    kf_obs0: jnp.ndarray | None = None,
 ) -> MapState:
     """Fold in a global-BA result computed on a SNAPSHOT of the map while
     tracking kept inserting keyframes — the reference's post-GBA map
@@ -270,9 +271,14 @@ def apply_global_ba_partial(
         (old_pt & m.pt_valid)[:, None], res.X,
         jnp.where(m.pt_valid[:, None], X_prop, m.pt_X),
     )
-    # Outlier-observation clearing only applies to rows the solve saw.
+    # Outlier-observation clearing only applies to rows the solve saw,
+    # AND (when the pre-solve snapshot is given) only to rows whose
+    # binding is unchanged since the snapshot — observations (re)bound
+    # during the solve had inlier=False trivially and must not be wiped.
     flat_obs = m.kf_obs.reshape(-1)
     clear = ((flat_obs >= 0) & ~res.inlier).reshape(K, N) & old_kf[:, None]
+    if kf_obs0 is not None:
+        clear = clear & (m.kf_obs == kf_obs0)
     return m._replace(
         kf_R=kf_R, kf_t=kf_t, pt_X=pt_X,
         kf_obs=jnp.where(clear, -1, m.kf_obs),
@@ -307,6 +313,7 @@ def build_vi_ba(
     calib,
     cam_params: jnp.ndarray,
     scale: float = 1.2,
+    bf: jnp.ndarray | float = 0.0,
 ):
     """Assemble a visual-inertial local BA window (LocalInertialBA's
     temporal-window graph, Optimizer.cc:2528): visual edges like
@@ -370,6 +377,10 @@ def build_vi_ba(
         cam_params=cam_params,
         R_bc=calib.R_bc,
         t_bc=calib.t_bc,
+        # Stereo disparity rows (EdgeStereo in LocalInertialBA,
+        # Optimizer.cc:2606-2652); kf_ur < 0 marks mono observations.
+        ur=m.kf_ur[window_ids].reshape(-1),
+        bf=jnp.asarray(bf, m.kf_t.dtype),
     )
 
 

@@ -200,17 +200,27 @@ def _essential_graph_pgo(
     st_R, st_t, st_s = rel_of(st_i, st_j)
     st_valid = valid & valid[parent] & (ids >= 1)
 
-    # --- strong covisibility edges (upper triangle, tree/loop excluded) ---
-    iu_np, ju_np = np.triu_indices(K, k=1)
-    iu = jnp.asarray(iu_np.astype(np.int32))
-    ju = jnp.asarray(ju_np.astype(np.int32))
+    # --- strong covisibility edges: per-KF top-k by weight instead of
+    # the full upper triangle — O(K*k) edges instead of O(K^2), which is
+    # what keeps PGO assembly linear at K_cap >= 512. The reference takes
+    # ALL w >= minFeat neighbors (Optimizer.cc:1711); with minFeat = 100
+    # a keyframe essentially never has more than EDGE_TOPK of them, so
+    # top-k at the same threshold keeps the same edge set. ---
+    EDGE_TOPK = min(12, K - 1)
+    covm = jnp.where(
+        (ids[None, :] > ids[:, None]) & valid[None, :] & valid[:, None],
+        cov, -1,
+    )
+    wv, jv = jax.lax.top_k(covm, EDGE_TOPK)  # [K, topk], j > i only
+    iu = jnp.repeat(ids.astype(jnp.int32), EDGE_TOPK)
+    ju = jv.reshape(-1).astype(jnp.int32)
     cv_R, cv_t, cv_s = rel_of(iu, ju)
     not_tree = (parent[ju] != iu) & (parent[iu] != ju)
     not_loop = ~(
         ((iu == cand_kf) & (ju == new_kf)) | ((iu == new_kf) & (ju == cand_kf))
     )
     cv_valid = (
-        (cov[iu, ju] >= cov_min) & valid[iu] & valid[ju] & not_tree & not_loop
+        (wv.reshape(-1) >= cov_min) & valid[iu] & valid[ju] & not_tree & not_loop
     )
 
     # --- loop measurement (i=new, j=cand): S_ji = S21 ---
@@ -433,8 +443,10 @@ class LoopCloser:
         self.vocab = None
         # Persistent loop/merge edges (KeyFrame::mspLoopEdges role,
         # KeyFrame.h:466-482): every accepted closure's Sim3 constraint
-        # stays in all later essential-graph optimizations. Fixed
-        # capacity so the jitted PGO never recompiles.
+        # stays in ALL later essential-graph optimizations — the
+        # reference never drops a loop edge. Capacity DOUBLES when full
+        # (the jitted PGO recompiles once per doubling, log2-bounded)
+        # instead of ring-evicting old constraints.
         self.max_loop_edges = 16
         self._edge_i = np.full((self.max_loop_edges,), -1, np.int32)
         self._edge_j = np.full((self.max_loop_edges,), -1, np.int32)
@@ -444,8 +456,25 @@ class LoopCloser:
         self._edge_s = np.ones((self.max_loop_edges,), np.float32)
         self._n_edges = 0
 
+    def _grow_edges(self):
+        cap = self.max_loop_edges * 2
+        pad = cap - self.max_loop_edges
+        self._edge_i = np.concatenate([self._edge_i, np.full((pad,), -1, np.int32)])
+        self._edge_j = np.concatenate([self._edge_j, np.full((pad,), -1, np.int32)])
+        self._edge_R = np.concatenate(
+            [self._edge_R, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]
+        )
+        self._edge_t = np.concatenate([self._edge_t, np.zeros((pad, 3), np.float32)])
+        self._edge_s = np.concatenate([self._edge_s, np.ones((pad,), np.float32)])
+        self.max_loop_edges = cap
+
     def _record_loop_edge(self, i, j, R, t, s):
-        k = self._n_edges % self.max_loop_edges  # ring: oldest evicted
+        # Reuse a slot freed by compaction before growing.
+        free = np.nonzero(self._edge_i < 0)[0]
+        if len(free) == 0:
+            self._grow_edges()
+            free = np.nonzero(self._edge_i < 0)[0]
+        k = int(free[0])
         self._edge_i[k] = i
         self._edge_j[k] = j
         self._edge_R[k] = np.asarray(R)

@@ -88,6 +88,7 @@ class MonoSlam:
         devices: Optional[tuple] = None,
         track_cap: Optional[int] = None,
         transfer_uint8: bool = False,
+        points_every: int = 0,
         seed: int = 0,
     ):
         # ``track_cap``: bound per-frame matching to the top-N candidate
@@ -190,6 +191,13 @@ class MonoSlam:
         self.local_ba_iters = local_ba_iters
 
         self.state = NOT_INITIALIZED
+        # ``points_every``: emit map-point-cloud + keyframe-marker events
+        # through ``on_frame`` every N frames (the reference publishes
+        # tracked/all point clouds, KF markers and TF per frame,
+        # src/common.cc:273-369; here a cadence bounds the device->host
+        # fetch cost). 0 disables.
+        self.points_every = points_every
+        self._last_points_pub = -1
         # fx*baseline for stereo/RGB-D residuals (0 = mono, no stereo rows)
         self.bf = 0.0
         self.map = map_state.empty_map(self.K_cap, self.N, self.P_cap)
@@ -636,8 +644,11 @@ class MonoSlam:
             and self.atlas is None
             and self._gba is None
             and self.track_window is None
+            and self.track_dev is None  # chunk fuses track+map: no 2-chip split
+            and self.bf == 0.0  # chunk KF body builds mono-only BA rows
             and type(self)._run_local_ba is MonoSlam._run_local_ba
-            and self.n_kf >= 2
+            # Match the per-frame path's dense warm-up on a young map.
+            and self.n_kf >= max(2, self.lean_after_kf)
         )
 
     def process_frames(self, imgs, tss) -> None:
@@ -654,7 +665,11 @@ class MonoSlam:
                 self.process_frame(im, float(ts))
             return
         self.flush()  # settle the single-frame pipeline's async state
-        if self.n_kf >= self.K_cap - 1 - len(tss) // max(self.kf_every, 1):
+        # Worst-case keyframe density inside a chunk is one every 2 frames
+        # (the weak-tracking branch of need_kf), not 1/kf_every — reserve
+        # for that so the in-chunk K_cap guard can never silently drop
+        # keyframes mid-chunk.
+        if self.n_kf >= self.K_cap - 1 - len(tss) // 2:
             self._make_room()
         tss = _np.asarray(tss, _np.float64)
         last = getattr(self, "_last_frame_ts", None)
@@ -676,22 +691,30 @@ class MonoSlam:
             alive=jnp.asarray(True),
         )
         fids = jnp.arange(len(tss), dtype=jnp.int32) + self.frame_id
-        carry2, outs = self._chunk_runner()(
-            carry,
-            jnp.asarray(
+        if isinstance(imgs, jnp.ndarray):
+            # Already a (device-resident) stack — e.g. a dataset window
+            # preloaded in one bulk transfer (the replay equivalent of the
+            # reference reading RAM-cached dataset images): no per-chunk
+            # host processing or link transfer.
+            imgs_dev = imgs
+        else:
+            imgs_dev = jnp.asarray(
                 _np.clip(_np.stack(imgs), 0, 255).astype(_np.uint8)
                 if self.transfer_uint8 else
                 _np.stack(imgs).astype(_np.float32)
-            ),
-            jnp.asarray(tss, jnp.float32), fids,
+            )
+        carry2, outs = self._chunk_runner()(
+            carry, imgs_dev, jnp.asarray(tss, jnp.float32), fids,
         )
         self.map = carry2.m
-        fetch = (
-            outs, carry2.n_kf, carry2.n_pts, carry2.last_kf_fid,
-            carry2.R, carry2.t, carry2.vel_R, carry2.vel_t, carry2.alive,
-        )
+        # ONE packed f32 fetch: over the TPU tunnel a device_get costs a
+        # round trip per array leaf, so fetching the raw pytree (~17
+        # leaves) costs ~5x the chunk's compute (see device_loop).
+        from .device_loop import pack_chunk_result
+
+        packed = pack_chunk_result(outs, carry2)
         self._chunk_pending = {
-            "fut": self._io.submit(jax.device_get, fetch),
+            "fut": self._io.submit(jax.device_get, packed),
             "tss": tss, "imgs": imgs, "fid0": self.frame_id,
         }
         self.frame_id += len(tss)
@@ -703,41 +726,49 @@ class MonoSlam:
         if p is None:
             return
         self._chunk_pending = None
-        (outs, n_kf, n_pts, last_kf, R, t, vel_R, vel_t, alive) = (
-            p["fut"].result()
-        )
-        self.n_kf = int(n_kf)
-        self._n_pts = int(n_pts)
-        self.last_kf_frame = int(last_kf)
-        self.R_cur = np.asarray(R)
-        self.t_cur = np.asarray(t)
-        self.vel_R = np.asarray(vel_R)
-        self.vel_t = np.asarray(vel_t)
+        from .device_loop import unpack_chunk_result
+
+        outs, sc = unpack_chunk_result(p["fut"].result(), len(p["tss"]))
+        self.n_kf = sc["n_kf"]
+        self._n_pts = sc["n_pts"]
+        self.last_kf_frame = sc["last_kf_fid"]
+        self.R_cur = np.asarray(sc["R"])
+        self.t_cur = np.asarray(sc["t"])
+        self.vel_R = np.asarray(sc["vel_R"])
+        self.vel_t = np.asarray(sc["vel_t"])
+        alive = sc["alive"]
         self._ref_cache = None
         n_dead = 0
         for i in range(len(p["tss"])):
-            if not bool(outs.alive[i]):
+            if not bool(outs["alive"][i]):
                 n_dead += 1
                 continue
             ts = float(p["tss"][i])
-            Rcw = np.asarray(outs.R[i])
-            tcw = np.asarray(outs.t[i])
+            Rcw = np.asarray(outs["R"][i])
+            tcw = np.asarray(outs["t"][i])
             T = np.eye(4, dtype=np.float32)
             T[:3, :3] = Rcw.T
             T[:3, 3] = -Rcw.T @ tcw
             self.trajectory.append((ts, T))
             self.rel_traj.append(
-                (ts, int(outs.ref[i]), np.asarray(outs.R_cr[i]),
-                 np.asarray(outs.t_cr[i]))
+                (ts, int(outs["ref"][i]), np.asarray(outs["R_cr"][i]),
+                 np.asarray(outs["t_cr"][i]))
             )
             if self.on_frame is not None:
+                # outs.ref is the reference KF slot AFTER this frame's
+                # keyframe decision (= n_kf-1 at that frame), so per-frame
+                # counters/ids are exact even mid-chunk.
                 self.on_frame(dict(
                     event="frame", ts=ts, Twc=T,
-                    n_inliers=int(outs.n_inliers[i]), state=OK,
-                    n_kf=self.n_kf,
+                    n_inliers=int(outs["n_inliers"][i]), state=OK,
+                    n_kf=int(outs["ref"][i]) + 1,
                 ))
-                if bool(outs.is_kf[i]):
-                    self.on_frame(dict(event="keyframe", ts=ts, kf_id=-1))
+                if bool(outs["is_kf"][i]):
+                    self.on_frame(dict(
+                        event="keyframe", ts=ts, kf_id=int(outs["ref"][i])
+                    ))
+        if self.on_frame is not None and len(p["tss"]):
+            self._maybe_publish_points(float(p["tss"][-1]))
         if not bool(alive):
             # Tracking failed at some frame: mark LOST and replay the
             # dead tail through the single-frame path (relocalization,
@@ -807,6 +838,10 @@ class MonoSlam:
         self._gba = dict(
             prob=prob, done=0, target=n_iters, chunk=chunk, n_cg=n_cg,
             n_kf0=self.n_kf, res=None, abort=False,
+            # Snapshot of the observation table: the solve classifies
+            # inliers against THESE bindings, so only rows still bound the
+            # same way may be cleared when the partial result folds in.
+            obs0=self.map.kf_obs,
         )
         self._dispatch_gba_chunk()
 
@@ -845,7 +880,8 @@ class MonoSlam:
 
         g, self._gba = self._gba, None
         self.map = lm.apply_global_ba_partial(
-            self.map, g["res"], jnp.asarray(g["n_kf0"], jnp.int32)
+            self.map, g["res"], jnp.asarray(g["n_kf0"], jnp.int32),
+            kf_obs0=g["obs0"],
         )
         self.map = map_updates.refresh_point_stats(
             self.map, n_levels=self.config.n_levels
@@ -1067,10 +1103,50 @@ class MonoSlam:
                 event="frame", ts=ts, Twc=self._pose_mat(),
                 n_inliers=n_inl, state=self.state, n_kf=self.n_kf,
             ))
+            self._maybe_publish_points(ts, found_mask=res.found_mask)
 
         if self._need_keyframe(n_inl):
             self._insert_keyframe(feats, ts, res)
         return self._pose_mat()
+
+    def _maybe_publish_points(self, ts, found_mask=None):
+        """Point-cloud / keyframe-marker observability events at the
+        ``points_every`` cadence — the headless shape of the reference's
+        tracked-points / all-points / kf_markers publishers
+        (src/common.cc:273-369). Emits through ``on_frame``:
+          tracked_points: world positions of landmarks tracked this frame
+          map_points:     all live landmark positions
+          kf_markers:     camera centers of all live keyframes
+        """
+        if self.on_frame is None or self.points_every <= 0:
+            return
+        if self.frame_id - self._last_points_pub < self.points_every:
+            return
+        self._last_points_pub = self.frame_id
+        m = self.map
+        fetch = [m.pt_X, m.pt_valid, m.kf_R, m.kf_t, m.kf_valid]
+        if found_mask is not None:
+            fetch.append(found_mask)
+        got = jax.device_get(tuple(fetch))
+        X, pv, kR, kt, kv = got[:5]
+        X, pv = np.asarray(X), np.asarray(pv)
+        self.on_frame(dict(
+            event="map_points", ts=ts, n=int(pv.sum()),
+            points=X[pv].astype(np.float32),
+        ))
+        kv = np.asarray(kv).copy()
+        kv[self.n_kf:] = False
+        centers = -np.einsum("kji,kj->ki", np.asarray(kR)[kv], np.asarray(kt)[kv])
+        self.on_frame(dict(
+            event="kf_markers", ts=ts, n=int(kv.sum()),
+            centers=centers.astype(np.float32),
+        ))
+        if found_mask is not None:
+            fm = np.asarray(got[5]) & pv
+            self.on_frame(dict(
+                event="tracked_points", ts=ts, n=int(fm.sum()),
+                points=X[fm].astype(np.float32),
+            ))
 
     def _need_keyframe(self, n_inl):
         """Simplified NeedNewKeyFrame (Tracking.cc:3103): periodic + weak

@@ -60,6 +60,13 @@ class VIBAProblem(NamedTuple):
     cam_params: jnp.ndarray  # [9]
     R_bc: jnp.ndarray  # [3,3] camera-in-body
     t_bc: jnp.ndarray  # [3]
+    # stereo rows: observed right-image u (rectified, u_r = u - bf/z);
+    # ur < 0 marks a mono-only edge. The reference's LocalInertialBA adds
+    # EdgeStereo factors for these observations (G2oTypes.h:425,
+    # Optimizer.cc:2606-2652) — without them stereo-/RGBD-inertial
+    # windows lose the disparity observability that pins metric scale.
+    ur: jnp.ndarray | None = None  # [E]
+    bf: jnp.ndarray | float = 0.0  # fx * baseline
 
 
 def _apply_pert(R, p, v, bg, ba, eps):
@@ -78,6 +85,20 @@ def _visual_residual(eps_c, eps_p, R, p, X, uv, cam_params, R_bc, t_bc):
     Xb = R2.T @ (Xw - p2)
     Xc = R_bc.T @ (Xb - t_bc)
     return cameras.pinhole_project_nodist(cam_params, Xc) - uv
+
+
+def _visual_residual3(eps_c, eps_p, R, p, X, uv, ur, cam_params, R_bc, t_bc, bf):
+    """(u, v, u_r) residual through the body pose — EdgeMono rows plus
+    the EdgeStereo disparity row (G2oTypes.h:425). The caller masks the
+    third row for mono edges (ur < 0)."""
+    R2 = R @ lie.so3_exp(eps_c[0:3])
+    p2 = p + R @ eps_c[3:6]
+    Xw = X + eps_p
+    Xb = R2.T @ (Xw - p2)
+    Xc = R_bc.T @ (Xb - t_bc)
+    uvp = cameras.pinhole_project_nodist(cam_params, Xc)
+    z = jnp.maximum(Xc[2], 1e-6)
+    return jnp.concatenate([uvp - uv, (uvp[0] - bf / z - ur)[None]])
 
 
 def _inertial_residual24(eps, Ri, pi, vi, bgi, bai, Rj, pj, vj, preint):
@@ -128,7 +149,20 @@ def vi_bundle_adjust(
     P = prob.X.shape[0]
     D = 15
     dtype = prob.X.dtype
-    delta2 = chi2_th
+
+    # Stereo rows: per-edge (u,v,u_r) with the third row masked for mono
+    # edges; stereo edges get the 3-DoF chi2 gate (CHI2_STEREO vs
+    # CHI2_MONO scaling of the caller's threshold, Optimizer.cc:2606).
+    ur = prob.ur if prob.ur is not None else jnp.full_like(prob.uv[:, 0], -1.0)
+    bf = jnp.asarray(prob.bf, dtype)
+    has_ur = (ur >= 0.0) & (bf > 0.0)
+    rmask = jnp.concatenate(
+        [jnp.ones((ur.shape[0], 2), dtype), has_ur[:, None].astype(dtype)], 1
+    )  # [E,3]
+    delta2 = jnp.where(
+        has_ur, chi2_th * (robust.CHI2_STEREO / robust.CHI2_MONO), chi2_th
+    )
+    ur_s = jnp.where(has_ur, ur, 0.0)
 
     ie_info = jax.vmap(lambda C: _info_from_cov(C, slice(0, 9)))(prob.ie_preint.C)
     # Bias random-walk info from the walk blocks of the covariance
@@ -137,23 +171,23 @@ def vi_bundle_adjust(
     info_baw = jax.vmap(lambda C: _info_from_cov(C, slice(12, 15)))(prob.ie_preint.C)
 
     vres_fn = jax.vmap(
-        lambda R, p, X, uv: _visual_residual(
-            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, p, X, uv,
-            prob.cam_params, prob.R_bc, prob.t_bc,
+        lambda R, p, X, uv, u_r: _visual_residual3(
+            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, p, X, uv, u_r,
+            prob.cam_params, prob.R_bc, prob.t_bc, bf,
         )
     )
     vjac_fn = jax.vmap(
-        lambda R, p, X, uv: (
+        lambda R, p, X, uv, u_r: (
             jax.jacfwd(
-                lambda e: _visual_residual(
-                    e, jnp.zeros(3, dtype), R, p, X, uv,
-                    prob.cam_params, prob.R_bc, prob.t_bc,
+                lambda e: _visual_residual3(
+                    e, jnp.zeros(3, dtype), R, p, X, uv, u_r,
+                    prob.cam_params, prob.R_bc, prob.t_bc, bf,
                 )
             )(jnp.zeros(6, dtype)),
             jax.jacfwd(
-                lambda e: _visual_residual(
-                    jnp.zeros(6, dtype), e, R, p, X, uv,
-                    prob.cam_params, prob.R_bc, prob.t_bc,
+                lambda e: _visual_residual3(
+                    jnp.zeros(6, dtype), e, R, p, X, uv, u_r,
+                    prob.cam_params, prob.R_bc, prob.t_bc, bf,
                 )
             )(jnp.zeros(3, dtype)),
         )
@@ -173,7 +207,7 @@ def vi_bundle_adjust(
         R = st.R_wb[prob.cam_idx]
         p = st.p_wb[prob.cam_idx]
         Xe = X[prob.pt_idx]
-        r = vres_fn(R, p, Xe, prob.uv)
+        r = vres_fn(R, p, Xe, prob.uv, ur_s) * rmask
         return r
 
     def total_cost(st, X):
@@ -237,8 +271,10 @@ def vi_bundle_adjust(
         Re = st.R_wb[prob.cam_idx]
         pe = st.p_wb[prob.cam_idx]
         Xe = X[prob.pt_idx]
-        r = vres_fn(Re, pe, Xe, prob.uv)
-        Jc6, Jp = vjac_fn(Re, pe, Xe, prob.uv)  # [E,2,6], [E,2,3]
+        r = vres_fn(Re, pe, Xe, prob.uv, ur_s) * rmask
+        Jc6, Jp = vjac_fn(Re, pe, Xe, prob.uv, ur_s)  # [E,3,6], [E,3,3]
+        Jc6 = Jc6 * rmask[:, :, None]
+        Jp = Jp * rmask[:, :, None]
         chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
         w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
         w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)
@@ -378,7 +414,7 @@ def vi_bundle_adjust(
     )
     r = gather_visual(st, X)
     chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
-    inlier = prob.edge_valid & (chi2 <= chi2_th)
+    inlier = prob.edge_valid & (chi2 <= delta2)
     return VIBAResult(states=st, X=X, cost=cost, chi2_visual=chi2, inlier=inlier)
 
 
@@ -440,30 +476,41 @@ def vi_bundle_adjust_gs(
     G = 3  # [dtheta_gx, dtheta_gy, dlog_s]
     KD = K * D
     dtype = prob.X.dtype
-    delta2 = chi2_th
+    # Stereo rows (see vi_bundle_adjust): third residual row masked for
+    # mono edges, 3-DoF chi2 gate for stereo edges.
+    ur = prob.ur if prob.ur is not None else jnp.full_like(prob.uv[:, 0], -1.0)
+    bf = jnp.asarray(prob.bf, dtype)
+    has_ur = (ur >= 0.0) & (bf > 0.0)
+    rmask = jnp.concatenate(
+        [jnp.ones((ur.shape[0], 2), dtype), has_ur[:, None].astype(dtype)], 1
+    )
+    delta2 = jnp.where(
+        has_ur, chi2_th * (robust.CHI2_STEREO / robust.CHI2_MONO), chi2_th
+    )
+    ur_s = jnp.where(has_ur, ur, 0.0)
 
     ie_info = jax.vmap(lambda C: _info_from_cov(C, slice(0, 9)))(prob.ie_preint.C)
     info_bgw = jax.vmap(lambda C: _info_from_cov(C, slice(9, 12)))(prob.ie_preint.C)
     info_baw = jax.vmap(lambda C: _info_from_cov(C, slice(12, 15)))(prob.ie_preint.C)
 
     vres_fn = jax.vmap(
-        lambda R, p, X, uv: _visual_residual(
-            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, p, X, uv,
-            prob.cam_params, prob.R_bc, prob.t_bc,
+        lambda R, p, X, uv, u_r: _visual_residual3(
+            jnp.zeros(6, dtype), jnp.zeros(3, dtype), R, p, X, uv, u_r,
+            prob.cam_params, prob.R_bc, prob.t_bc, bf,
         )
     )
     vjac_fn = jax.vmap(
-        lambda R, p, X, uv: (
+        lambda R, p, X, uv, u_r: (
             jax.jacfwd(
-                lambda e: _visual_residual(
-                    e, jnp.zeros(3, dtype), R, p, X, uv,
-                    prob.cam_params, prob.R_bc, prob.t_bc,
+                lambda e: _visual_residual3(
+                    e, jnp.zeros(3, dtype), R, p, X, uv, u_r,
+                    prob.cam_params, prob.R_bc, prob.t_bc, bf,
                 )
             )(jnp.zeros(6, dtype)),
             jax.jacfwd(
-                lambda e: _visual_residual(
-                    jnp.zeros(6, dtype), e, R, p, X, uv,
-                    prob.cam_params, prob.R_bc, prob.t_bc,
+                lambda e: _visual_residual3(
+                    jnp.zeros(6, dtype), e, R, p, X, uv, u_r,
+                    prob.cam_params, prob.R_bc, prob.t_bc, bf,
                 )
             )(jnp.zeros(3, dtype)),
         )
@@ -493,7 +540,7 @@ def vi_bundle_adjust_gs(
 
     def total_cost(st, X, Rwg, s):
         r = vres_fn(st.R_wb[prob.cam_idx], st.p_wb[prob.cam_idx],
-                    X[prob.pt_idx], prob.uv)
+                    X[prob.pt_idx], prob.uv, ur_s) * rmask
         chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
         if use_robust:
             rho = jnp.where(
@@ -545,8 +592,10 @@ def vi_bundle_adjust_gs(
         Re = st.R_wb[prob.cam_idx]
         pe = st.p_wb[prob.cam_idx]
         Xe = X[prob.pt_idx]
-        r = vres_fn(Re, pe, Xe, prob.uv)
-        Jc6, Jp = vjac_fn(Re, pe, Xe, prob.uv)
+        r = vres_fn(Re, pe, Xe, prob.uv, ur_s) * rmask
+        Jc6, Jp = vjac_fn(Re, pe, Xe, prob.uv, ur_s)
+        Jc6 = Jc6 * rmask[:, :, None]
+        Jp = Jp * rmask[:, :, None]
         chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
         w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
         w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)
@@ -690,9 +739,12 @@ def vi_bundle_adjust_gs(
         step, (st0, prob.X, Rwg0, s0, jnp.asarray(lam0, dtype), cost0),
         None, length=n_iters,
     )
-    r = vres_fn(st.R_wb[prob.cam_idx], st.p_wb[prob.cam_idx], X[prob.pt_idx], prob.uv)
+    r = vres_fn(
+        st.R_wb[prob.cam_idx], st.p_wb[prob.cam_idx], X[prob.pt_idx],
+        prob.uv, ur_s,
+    ) * rmask
     chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
-    inlier = prob.edge_valid & (chi2 <= chi2_th)
+    inlier = prob.edge_valid & (chi2 <= delta2)
     return VIBAGSResult(
         states=st, X=X, Rwg=Rwg, scale=s, cost=cost,
         chi2_visual=chi2, inlier=inlier,

@@ -15,6 +15,8 @@ texture — fully vectorized JAX, renders on-device.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -23,6 +25,68 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lie
+
+# ---------------------------------------------------------------------------
+# Sequence cache: rendering is deterministic given the arguments, and the
+# test suite re-renders the same handful of sequences in every file/run
+# (dominant share of the "fast" suite's latency on a 2-core host). Cache
+# rendered sequences in memory per process and on disk across processes.
+# Disable with ORB_TPU_SYNTH_CACHE=0; relocate with ORB_TPU_SYNTH_CACHE=<dir>.
+# ---------------------------------------------------------------------------
+
+_MEM_CACHE: dict = {}
+
+
+def _cache_dir():
+    v = os.environ.get("ORB_TPU_SYNTH_CACHE", "")
+    if v == "0":
+        return None
+    if v:
+        return v
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "orb_slam3_ros_tpu", "synth"
+    )
+
+
+def _cache_key(tag: str, kwargs: dict) -> str:
+    items = []
+    for k in sorted(kwargs):
+        v = kwargs[k]
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        items.append(f"{k}={v!r}")
+    h = hashlib.md5((tag + ";" + ";".join(items)).encode()).hexdigest()[:16]
+    return f"{tag}-{h}"
+
+
+def _cache_load(key: str):
+    if key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    d = _cache_dir()
+    if d is None:
+        return None
+    path = os.path.join(d, key + ".npz")
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:
+        return None
+
+
+def _cache_store(key: str, arrays: dict):
+    _MEM_CACHE[key] = arrays
+    d = _cache_dir()
+    if d is None:
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, key + ".tmp.npz")
+        np.savez(tmp, **arrays)
+        os.replace(tmp, os.path.join(d, key + ".npz"))
+    except Exception:
+        pass
 
 
 def _value_noise_texture(size: int, seed: int, octaves: int = 5) -> np.ndarray:
@@ -222,10 +286,42 @@ def make_sequence(
     trajectory: str = "orbit",
     stereo_baseline: float = 0.0,
 ) -> SynthSequence:
-    """Render a full sequence (host-side convenience for tests/bench).
+    """Render a full sequence (host-side convenience for tests/bench),
+    memoized in memory and on disk (rendering is deterministic).
 
     ``stereo_baseline`` > 0 also renders a rectified right view (camera
     displaced by +baseline along the camera x-axis)."""
+    kwargs = dict(
+        n_frames=n_frames, height=height, width=width, dt=dt, seed=seed,
+        with_depth=with_depth, trajectory=trajectory,
+        stereo_baseline=stereo_baseline,
+    )
+    key = _cache_key("seq", kwargs)
+    hit = _cache_load(key)
+    if hit is not None:
+        return SynthSequence(
+            images=hit["images"], R_wc=hit["R_wc"], t_wc=hit["t_wc"],
+            timestamps=hit["timestamps"], cam_params=hit["cam_params"],
+            depths=hit.get("depths"), images_right=hit.get("images_right"),
+            baseline=stereo_baseline,
+        )
+    seq = _make_sequence_impl(**kwargs)
+    arrays = dict(
+        images=seq.images, R_wc=seq.R_wc, t_wc=seq.t_wc,
+        timestamps=seq.timestamps, cam_params=seq.cam_params,
+    )
+    if seq.depths is not None:
+        arrays["depths"] = seq.depths
+    if seq.images_right is not None:
+        arrays["images_right"] = seq.images_right
+    _cache_store(key, arrays)
+    return seq
+
+
+def _make_sequence_impl(
+    n_frames, height, width, dt, seed, with_depth, trajectory,
+    stereo_baseline,
+) -> SynthSequence:
     scene = make_room(seed=seed)
     f = 0.55 * width
     cam = np.asarray(
@@ -308,6 +404,47 @@ def make_vi_sequence(
     noise_a: float = 0.0,
     stereo_baseline: float = 0.0,
     with_depth: bool = False,
+):
+    """Cached wrapper around :func:`_make_vi_sequence_impl` (same
+    memoization rationale as :func:`make_sequence`)."""
+    kwargs = dict(
+        n_frames=n_frames, height=height, width=width, frame_dt=frame_dt,
+        imu_per_frame=imu_per_frame, seed=seed,
+        gravity=None if gravity is None else np.asarray(gravity),
+        bg=None if bg is None else np.asarray(bg),
+        ba=None if ba is None else np.asarray(ba),
+        noise_g=noise_g, noise_a=noise_a, stereo_baseline=stereo_baseline,
+        with_depth=with_depth,
+    )
+    key = _cache_key("viseq", kwargs)
+    hit = _cache_load(key)
+    if hit is not None:
+        seq = SynthSequence(
+            images=hit["images"], R_wc=hit["R_wc"], t_wc=hit["t_wc"],
+            timestamps=hit["timestamps"], cam_params=hit["cam_params"],
+            depths=hit.get("depths"), images_right=hit.get("images_right"),
+            baseline=stereo_baseline,
+        )
+        imu = {k: hit["imu_" + k] for k in
+               ("acc", "gyro", "dts", "vel", "gravity", "bg", "ba")}
+        return seq, imu
+    seq, imu = _make_vi_sequence_impl(**kwargs)
+    arrays = dict(
+        images=seq.images, R_wc=seq.R_wc, t_wc=seq.t_wc,
+        timestamps=seq.timestamps, cam_params=seq.cam_params,
+        **{"imu_" + k: np.asarray(v) for k, v in imu.items()},
+    )
+    if seq.depths is not None:
+        arrays["depths"] = seq.depths
+    if seq.images_right is not None:
+        arrays["images_right"] = seq.images_right
+    _cache_store(key, arrays)
+    return seq, imu
+
+
+def _make_vi_sequence_impl(
+    n_frames, height, width, frame_dt, imu_per_frame, seed, gravity, bg,
+    ba, noise_g, noise_a, stereo_baseline, with_depth,
 ):
     """Render frames + exact IMU for the analytic trajectory.
 

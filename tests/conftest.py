@@ -23,6 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: the persistent XLA compilation cache is deliberately NOT enabled
+# here — XLA:CPU AOT cache entries record compile-machine features
+# (+prefer-no-scatter/+prefer-no-gather) that the loader rejects on
+# reload (SIGILL risk). Suite latency is addressed by the synth-sequence
+# disk cache (utils/synth.py) instead.
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -11,7 +11,11 @@ from orb_slam3_ros_tpu.ops import ba
 from orb_slam3_ros_tpu.parallel import dist_ba
 
 
-def toy_problem(rng, K=4, P=256, E=512):
+def toy_problem(rng, K=32, P=2048, E=16384):
+    """Equivalence shape: half the realistic GBA K with the same edge
+    density (the full K=64/P=8192/E=65536 shape runs in
+    test_realistic_gba_shape; solving it twice for equivalence is too
+    slow for the 2-core CI host)."""
     import __graft_entry__ as g
 
     return g._toy_problem(K=K, P=P, E=E)

@@ -1,0 +1,87 @@
+"""Two-process jax.distributed BA: the multi-host runtime path
+(SURVEY §2.5 "distributed communication backend"; no reference
+counterpart). Each process contributes 4 virtual CPU devices; the global
+8-device mesh runs the same sharded solve as the in-process tests, and
+the result must match the single-process solve."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    proc = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from orb_slam3_ros_tpu.parallel import multihost, dist_ba
+    multihost.init(
+        coordinator=f"127.0.0.1:{port}", num_processes=2,
+        process_id=proc, local_device_count=4,
+    )
+    import numpy as np
+    import __graft_entry__ as g
+    prob = g._toy_problem(K=8, P=512, E=2048)
+    mesh = multihost.global_mesh()
+    assert len(jax.devices()) == 8, len(jax.devices())
+    res = dist_ba.distributed_bundle_adjust(prob, mesh, n_iters=3)
+    # res.cost is replicated over the GLOBAL mesh: read the local copy.
+    cost = float(np.asarray(res.cost.addressable_shards[0].data))
+    if proc == 0:
+        print("COST", cost, flush=True)
+"""
+)
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+class TestMultiHost:
+    def test_two_process_ba_matches_single(self, tmp_path):
+        port = _free_port()
+        wf = tmp_path / "worker.py"
+        wf.write_text(_WORKER)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            + os.pathsep + env.get("PYTHONPATH", "")
+        )
+        env.pop("XLA_FLAGS", None)  # workers set their own device count
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(wf), str(i), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                env=env, text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+            assert p.returncode == 0, out[-3000:]
+        cost_line = [
+            ln for ln in outs[0].splitlines() if ln.startswith("COST ")
+        ]
+        assert cost_line, outs[0][-3000:]
+        dist_cost = float(cost_line[0].split()[1])
+
+        # Single-process reference on this process's local 8-dev mesh.
+        import __graft_entry__ as g
+        from orb_slam3_ros_tpu.ops import ba
+
+        prob = g._toy_problem(K=8, P=512, E=2048)
+        res = ba.bundle_adjust(prob, n_iters=3)
+        np.testing.assert_allclose(dist_cost, float(res.cost), rtol=1e-3)

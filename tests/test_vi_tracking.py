@@ -115,18 +115,43 @@ class TestTimestampJump:
         assert slam.state == OK
 
     def test_jump_segments_map_with_atlas(self):
+        """Reference policy (Tracking.cc:2050-2068): a map below the keep
+        threshold (<10 KFs there, Atlas.min_kf_keep here) is RESET on a
+        timestamp jump, a substantial map is ARCHIVED; either way a fresh
+        map starts. kf_every=2 makes the 20-frame prefix produce >=
+        min_kf_keep keyframes so the archive branch is exercised."""
         seq = synth.make_sequence(n_frames=40, height=240, width=376, dt=0.1, seed=3)
         slam = MonoSlam(
             height=240, width=376, cam_params=seq.cam_params,
             n_features=1200, max_keyframes=32, max_points=4096,
-            enable_atlas=True,
+            enable_atlas=True, kf_every=2,
         )
         for i in range(20):
             slam.process_frame(seq.images[i], float(seq.timestamps[i]))
         assert slam.state == OK
+        assert slam.n_kf >= slam.atlas.min_kf_keep, "prefix map too small"
         n_maps_before = len(slam.atlas.maps)
         # the jump archives the live map and re-initializes a fresh one
         for i in range(20, 40):
             slam.process_frame(seq.images[i], float(seq.timestamps[i]) + 5.0)
         assert len(slam.atlas.maps) == n_maps_before + 1
+        assert slam.state == OK, "fresh map never initialized after jump"
+
+    def test_jump_discards_small_map_with_atlas(self):
+        """A below-threshold map must be discarded (reference resets maps
+        with <10 KFs instead of archiving, Tracking.cc:2050-2068)."""
+        seq = synth.make_sequence(n_frames=40, height=240, width=376, dt=0.1, seed=3)
+        slam = MonoSlam(
+            height=240, width=376, cam_params=seq.cam_params,
+            n_features=1200, max_keyframes=32, max_points=4096,
+            enable_atlas=True,  # default kf_every=5: ~4 KFs in 14 frames
+        )
+        for i in range(14):
+            slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        assert slam.state == OK
+        assert slam.n_kf < slam.atlas.min_kf_keep
+        n_maps_before = len(slam.atlas.maps)
+        for i in range(14, 40):
+            slam.process_frame(seq.images[i], float(seq.timestamps[i]) + 5.0)
+        assert len(slam.atlas.maps) == n_maps_before, "small map not reset"
         assert slam.state == OK, "fresh map never initialized after jump"
