@@ -42,7 +42,7 @@ def main():
 
     H, W = 480, 752
     n_frames = 120
-    warm = 30
+    warm = 45
     chunk = 15
     print(f"bench: rendering {n_frames} frames at {W}x{H}...",
           file=sys.stderr, flush=True)
@@ -71,13 +71,16 @@ def main():
     # device-resident loop (compiles the scan program at the SAME chunk
     # length the steady phase uses).
     i = 0
-    while (slam.state != OK or i < 10) and i < warm:
+    # Per-frame until the map is mature enough for the chunked fast path
+    # (n_kf >= lean_after_kf) — otherwise the warm "chunks" fall back to
+    # the per-frame path and the chunk program compiles inside the timed
+    # region.
+    while (slam.state != OK or not slam._chunkable()) and i < warm - chunk:
         slam.process_frame(seq.images[i], float(seq.timestamps[i]))
         i += 1
     while i + chunk <= warm:
         slam.process_frames(
-            jax.lax.dynamic_slice_in_dim(frames_dev, i, chunk),
-            seq.timestamps[i : i + chunk],
+            (frames_dev, i), seq.timestamps[i : i + chunk],
         )
         i += chunk
     while i < warm:  # chunk-misaligned remainder: per-frame (compiled)
@@ -93,8 +96,7 @@ def main():
     i = warm
     while i + chunk <= n_frames:
         slam.process_frames(
-            jax.lax.dynamic_slice_in_dim(frames_dev, i, chunk),
-            seq.timestamps[i : i + chunk],
+            (frames_dev, i), seq.timestamps[i : i + chunk],
         )
         i += chunk
     slam.flush()

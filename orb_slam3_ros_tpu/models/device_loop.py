@@ -74,6 +74,7 @@ def make_chunk_runner(
     schedule: tuple,
     K_cap: int,
     track_cap: int | None = None,
+    cam_model: str = "pinhole",
 ):
     """Build the jitted chunk program for one pipeline geometry."""
     n_levels = config.n_levels
@@ -83,7 +84,9 @@ def make_chunk_runner(
         """keyframe_work with cadence gates as device conds (the chunk
         cannot specialize per-keyframe static flags)."""
         m = map_updates.insert_keyframe(m, kf_id, R, t, ts, feats, feat_pt)
-        tri = tracking.triangulate_with_ref(m, kf_id, kf_id - 1, cam_params)
+        tri = tracking.triangulate_with_ref(
+            m, kf_id, kf_id - 1, cam_params, cam_model=cam_model
+        )
         m, n_new = map_updates.admit_new_points(
             m, kf_id, kf_id - 1, tri, n_pts,
             jnp.asarray(m.P, jnp.int32) - n_pts,
@@ -93,7 +96,7 @@ def make_chunk_runner(
                 (kf_id >= 2) & (kf_id % fuse_every == 0),
                 lambda mm: map_updates.fuse_in_neighbors(
                     mm, kf_id, cam_params, width, height,
-                    n_neighbors=fuse_neighbors,
+                    n_neighbors=fuse_neighbors, cam_model=cam_model,
                 )[0],
                 lambda mm: mm,
                 m,
@@ -106,7 +109,8 @@ def make_chunk_runner(
             bf=jnp.asarray(0.0, jnp.float32), entry_valid=entry_valid,
         )
         res = ba.bundle_adjust(
-            prob, n_iters=local_ba_iters, row_n=row_n, rel_tol=1e-3
+            prob, n_iters=local_ba_iters, row_n=row_n, rel_tol=1e-3,
+            cam_model=cam_model,
         )
         m = local_mapping.apply_local_ba(m, window_ids, sel, res, entry_valid)
         m = local_mapping.drop_ba_outlier_obs(m, window_ids, res, entry_valid)
@@ -137,7 +141,7 @@ def make_chunk_runner(
         t_pred = c.vel_R @ c.t + c.vel_t
         res = tracking.track_against_map(
             c.m, feats, R_pred, t_pred, cam_params, width, height,
-            schedule=schedule, track_cap=track_cap,
+            schedule=schedule, track_cap=track_cap, cam_model=cam_model,
         )
         ok = c.alive & (res.n_inliers >= 15)
         R_new = jnp.where(ok, res.R, c.R)
@@ -194,6 +198,34 @@ def make_chunk_runner(
     def run_chunk(carry: LoopCarry, imgs, tss, fids):
         return jax.lax.scan(step, carry, (imgs, tss, fids))
 
+    def _carry_from_packed(m, pk):
+        return LoopCarry(
+            m=m,
+            R=pk[0:9].reshape(3, 3), t=pk[9:12],
+            vel_R=pk[12:21].reshape(3, 3), vel_t=pk[21:24],
+            n_kf=pk[24].astype(jnp.int32),
+            n_pts=pk[25].astype(jnp.int32),
+            last_kf_fid=pk[26].astype(jnp.int32),
+            alive=pk[27] > 0.5,
+        )
+
+    @partial(jax.jit, static_argnames=("chunk",))
+    def run_chunk_packed(m, frames, pk, chunk: int):
+        """Single-upload chunk entry: ``pk`` = [28 carry scalars,
+        frame-id0, frame-offset, tss(chunk)] in ONE f32 vector, frames a
+        (device-resident) [N,H,W] stack sliced on device — host->device
+        transfers per chunk drop from ~10 small round trips (~20 ms each
+        over the TPU tunnel) to one. Returns (new map, packed result)."""
+        carry = _carry_from_packed(m, pk)
+        fid0 = pk[28].astype(jnp.int32)
+        off = pk[29].astype(jnp.int32)
+        tss = pk[30 : 30 + chunk]
+        imgs = jax.lax.dynamic_slice_in_dim(frames, off, chunk)
+        fids = fid0 + jnp.arange(chunk, dtype=jnp.int32)
+        carry2, outs = jax.lax.scan(step, carry, (imgs, tss, fids))
+        return carry2.m, pack_chunk_result(outs, carry2)
+
+    run_chunk.packed = run_chunk_packed
     return run_chunk
 
 

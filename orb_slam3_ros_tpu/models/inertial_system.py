@@ -368,12 +368,23 @@ class InertialSlam(MonoSlam):
             self._initialize_imu()
             self.imu_stage = 1
         elif self.imu_initialized and self.imu_stage == 1 and (
-            self.n_kf >= self.init_after_kf + 6
+            self.n_kf >= self.init_after_kf + 4
         ):
-            # Stage-2 refinement: re-solve gravity/scale on the (now
-            # roughly metric) map and re-run the full inertial BA.
-            self._initialize_imu()
+            # Stage-2 refinement (the reference's VIBA1 ladder step,
+            # LocalMapping.cc:184-227: priors drop 1e2->1): re-solve
+            # gravity/scale on the (now roughly metric) map and re-run
+            # the full inertial BA with weaker bias priors.
+            self._initialize_imu(bias_prior_g=1.0, bias_prior_a=1e4)
             self.imu_stage = 2
+        elif self.imu_initialized and self.imu_stage == 2 and (
+            self.n_kf >= self.init_after_kf + 8
+        ):
+            # Stage-3: free-prior full inertial BA with gravity/scale
+            # vertices (VIBA2 at 15 s uses priors 0/0 + ScaleRefinement,
+            # LocalMapping.cc:1431) — closes the last few % of scale.
+            self._run_vi_ba_gs(n_iters=40, bias_prior_g=0.0,
+                               bias_prior_a=0.0)
+            self.imu_stage = 3
 
     # ------------------------------------------------------------------
     def _compact_hook(self, order, new_of_old, n_valid):
@@ -419,16 +430,20 @@ class InertialSlam(MonoSlam):
         self._vi_prior = None
 
     # ------------------------------------------------------------------
-    def _initialize_imu(self, rounds: int = 1):
+    def _initialize_imu(self, rounds: int = 1, bias_prior_g: float = 1e2,
+                        bias_prior_a: float = 1e6):
         """Gravity/scale/bias initialization + map alignment
         (LocalMapping::InitializeIMU stage 1): closed-form-seeded
         InertialOptimization, map alignment, then FullInertialBA with
         gravity+scale vertices (EdgeInertialGS) — one round suffices
-        because the final BA re-solves gravity/scale jointly."""
+        because the final BA re-solves gravity/scale jointly. The bias
+        priors follow the reference's decreasing ladder across re-runs
+        (priorG 1e2 -> 1 -> 0, LocalMapping.cc:184-227)."""
         for _ in range(rounds):
-            self._imu_init_round()
+            self._imu_init_round(bias_prior_g, bias_prior_a)
 
-    def _imu_init_round(self):
+    def _imu_init_round(self, bias_prior_g: float = 1e2,
+                        bias_prior_a: float = 1e6):
         n = self.n_kf
         ids = np.arange(n, dtype=np.int32)
         m = self.map
@@ -496,7 +511,8 @@ class InertialSlam(MonoSlam):
         # gravity-direction/scale vertices — the reference's
         # FullInertialBA(..., bInit=true) with EdgeInertialGS
         # (Optimizer.cc:392, called from LocalMapping::InitializeIMU).
-        self._run_vi_ba_gs(n_iters=25, bias_prior_g=1e2, bias_prior_a=1e6)
+        self._run_vi_ba_gs(n_iters=25, bias_prior_g=bias_prior_g,
+                           bias_prior_a=bias_prior_a)
 
     # ------------------------------------------------------------------
     def _run_local_ba(self, n_iters):

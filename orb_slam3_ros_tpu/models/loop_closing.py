@@ -530,6 +530,64 @@ class LoopCloser:
             os.path.join(self.dump_dir, f"closure_{new_kf}_{tag}"), **d
         )
 
+    def _poll_vocab_training(self, slam) -> None:
+        """Vocabulary training OFF the critical path: first training once
+        the map can support a vocabulary, then periodic RE-training
+        whenever the keyframe set has doubled — a vocabulary trained on
+        the first corridor does not discriminate the tenth room. The
+        k-medians runs on a background thread (the reference's
+        vocabulary is trained offline and merely LOADED at startup,
+        System.cc:114 — training must never stall tracking); the result
+        installs at a later closure check."""
+        fut = getattr(self, "_vocab_future", None)
+        if fut is not None:
+            if fut.done():
+                try:
+                    vocab, n_at = fut.result()
+                    slam.set_vocabulary(vocab)
+                    self._vocab_trained_at = n_at
+                finally:
+                    self._vocab_future = None
+            return
+        need = (
+            (self.vocab is None and self._vocab_trained_at < 0
+             and slam.n_kf >= 12)
+            or (self._vocab_trained_at > 0
+                and slam.n_kf >= 2 * self._vocab_trained_at)
+        )
+        if not need:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops import retrieval
+
+        if getattr(self, "_vocab_exec", None) is None:
+            self._vocab_exec = ThreadPoolExecutor(max_workers=1)
+        import jax as _jax
+
+        n_at = slam.n_kf
+        desc = np.asarray(
+            _jax.device_get(slam.map.kf_desc_sign[:n_at])
+        ).reshape(-1, 256)
+        valid = np.asarray(
+            _jax.device_get(slam.map.kf_feat_valid[:n_at])
+        ).reshape(-1)
+        train = desc[valid]
+        # Power-of-two vocabulary sizes: retrieval programs specialize on
+        # the vocab SHAPE, so a continuously growing size would recompile
+        # on every retrain; pow2 bounds recompiles to log-many.
+        n_words = int(np.clip(len(train) // 16, 32, retrieval.MAX_WORDS))
+        n_words = 1 << (n_words.bit_length() - 1)
+
+        def _train():
+            if n_words >= 1024:
+                v = retrieval.train_vocabulary_hier(train, n_words=n_words)
+            else:
+                v = retrieval.train_vocabulary(train, n_words=n_words)
+            return v, n_at
+
+        self._vocab_future = self._vocab_exec.submit(_train)
+
     def try_close(self, slam, new_kf: int, key) -> bool:
         """Attempt loop closure on keyframe ``new_kf``. A fresh candidate
         must survive guided-projection verification on
@@ -538,14 +596,8 @@ class LoopCloser:
         flow, LoopClosing.cc:1342-1595). Mutates ``slam.map`` on success.
         Returns True if a loop was closed."""
         m = slam.map
-        if (
-            self.auto_train_vocab
-            and self.vocab is None
-            and self._vocab_trained_at < 0
-            and slam.n_kf >= 12
-        ):
-            slam.train_vocabulary_from_map()
-            self._vocab_trained_at = slam.n_kf
+        if self.auto_train_vocab:
+            self._poll_vocab_training(slam)
         if self._pending is not None:
             fired = self._advance_pending(slam, new_kf)
             if fired is not None:

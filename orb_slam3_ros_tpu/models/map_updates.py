@@ -197,6 +197,7 @@ def _kf_feats(m: MapState, kf: jnp.ndarray) -> Features:
 def _fuse_into_kf(
     m: MapState, src_pts: jnp.ndarray, dst_kf: jnp.ndarray, active: jnp.ndarray,
     cam_params: jnp.ndarray, width: int, height: int, radius: float,
+    cam_model: str = "pinhole",
 ) -> tuple[MapState, jnp.ndarray]:
     """Project the landmark set ``src_pts`` [P] into keyframe ``dst_kf``
     and fuse with its features: a free feature gains the observation; a
@@ -206,7 +207,7 @@ def _fuse_into_kf(
     P, N = m.P, m.N
     R, t = m.kf_R[dst_kf], m.kf_t[dst_kf]
     Xc = jnp.einsum("ij,pj->pi", R, m.pt_X) + t
-    uv = cameras.pinhole_project_nodist(cam_params, Xc)
+    uv = cameras.project_model(cam_params, Xc, cam_model)
     dst_row = m.kf_obs[dst_kf]
     in_dst = jnp.zeros((P,), bool).at[jnp.clip(dst_row, 0, P - 1)].max(
         (dst_row >= 0) & m.kf_feat_valid[dst_kf]
@@ -311,7 +312,7 @@ def _fuse_into_kf(
     )
 
 
-@partial(jax.jit, static_argnames=("width", "height", "n_neighbors"))
+@partial(jax.jit, static_argnames=("width", "height", "n_neighbors", "radius", "cam_model"))
 def fuse_in_neighbors(
     m: MapState,
     kf_id: jnp.ndarray,
@@ -320,6 +321,7 @@ def fuse_in_neighbors(
     height: int,
     n_neighbors: int = 1,
     radius: float = 3.0,
+    cam_model: str = "pinhole",
 ) -> tuple[MapState, jnp.ndarray]:
     """``LocalMapping::SearchInNeighbors`` (orb_slam3/src/LocalMapping.cc
     :714): fuse duplicated landmarks between the newest keyframe and its
@@ -341,12 +343,12 @@ def fuse_in_neighbors(
         # forward: new KF's landmarks into the neighbor
         m, f1 = _fuse_into_kf(
             m, obs_matrix(m)[kf_id], nk, active, cam_params, width, height,
-            radius,
+            radius, cam_model,
         )
         # reverse: neighbor's landmarks into the new KF
         m, f2 = _fuse_into_kf(
             m, obs_matrix(m)[nk], kf_id, active, cam_params, width, height,
-            radius,
+            radius, cam_model,
         )
         n_fused = n_fused + f1 + f2
     return m, n_fused

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import ba, hamming, lie, matching, orb, ransac
+from ..ops import ba, cameras, hamming, lie, matching, orb, ransac
 from . import local_mapping, map_state, map_updates, tracking
 
 NOT_INITIALIZED = 0
@@ -33,6 +33,19 @@ LOST = 2
 # still trusted (Tracking::RECENTLY_LOST, Tracking.cc:2017-2068); decays
 # to LOST after ``time_recently_lost`` seconds without visual recovery.
 RECENTLY_LOST = 3
+
+
+class _ChunkReplayView:
+    """Per-frame indexing into a device-resident frame stack at an
+    offset — the dead-tail replay / fallback view of a ``(stack,
+    offset)`` chunk input."""
+
+    def __init__(self, stack, offset: int):
+        self._stack = stack
+        self._off = offset
+
+    def __getitem__(self, i):
+        return self._stack[self._off + i]
 
 
 @jax.jit
@@ -89,6 +102,7 @@ class MonoSlam:
         track_cap: Optional[int] = None,
         transfer_uint8: bool = False,
         points_every: int = 0,
+        cam_model: str = "pinhole",
         seed: int = 0,
     ):
         # ``track_cap``: bound per-frame matching to the top-N candidate
@@ -96,6 +110,13 @@ class MonoSlam:
         # tracking.track_against_map) — the match matrices and pose-opt
         # edge tables shrink by P_cap/track_cap.
         self.track_cap = track_cap
+        # Camera model of the observation factors (pinhole | kb8): every
+        # jitted pipeline program specializes on it (the GeometricCamera
+        # virtual dispatch of the reference, resolved at trace time).
+        # kb8 = NATIVE fisheye tracking on raw fisheye pixels — no
+        # virtual-pinhole rectification crop (ops/rectify.py remains as
+        # the alternative path).
+        self.cam_model = cam_model
         # ``transfer_uint8``: upload chunk frames as uint8 (the real
         # camera format; EuRoC images ARE 8-bit) — 1/4 the link bytes of
         # f32; extraction converts on device.
@@ -259,6 +280,7 @@ class MonoSlam:
                 m, feats, R_pred, t_pred, self.cam_params,
                 self.width, self.height, pt_mask=pt_mask,
                 schedule=schedule, track_cap=self.track_cap,
+                cam_model=self.cam_model,
             )
             return feats, res
 
@@ -439,10 +461,18 @@ class MonoSlam:
         ).reshape(-1)
         n = int(valid.sum())
         if n_words is None:
-            n_words = int(np.clip(n // 16, 32, retrieval.N_WORDS))
-        vocab = retrieval.train_vocabulary(
-            desc[valid], n_words=n_words, iters=iters
-        )
+            n_words = int(np.clip(n // 16, 32, retrieval.MAX_WORDS))
+        if n_words >= 1024:
+            # Large vocabularies train hierarchically (two-level
+            # k-medians, the DBoW2-tree counterpart); lookup stays the
+            # exact flat argmax on the MXU.
+            vocab = retrieval.train_vocabulary_hier(
+                desc[valid], n_words=n_words, iters=iters
+            )
+        else:
+            vocab = retrieval.train_vocabulary(
+                desc[valid], n_words=n_words, iters=iters
+            )
         self.set_vocabulary(vocab)
         return vocab
 
@@ -483,6 +513,7 @@ class MonoSlam:
             tracking.track_against_map(
                 self.map, dummy, R, t, self.cam_params,
                 self.width, self.height, pt_mask=pt_mask, schedule=sched,
+                cam_model=self.cam_model,
             )
 
     def _current_schedule(self) -> tuple:
@@ -631,18 +662,26 @@ class MonoSlam:
                 fuse_every=self.fuse_every, stats_every=self.stats_every,
                 cull_every=self.cull_every, kf_culling=self.kf_culling,
                 schedule=self._sched_lean, K_cap=self.K_cap,
-                track_cap=self.track_cap,
+                track_cap=self.track_cap, cam_model=self.cam_model,
             )
             self._chunk_run = r
         return r
 
     def _chunkable(self) -> bool:
+        # A LoopCloser/Atlas no longer blocks chunking: closure detection
+        # and archived-map merging run at CHUNK BOUNDARIES on the
+        # keyframes the chunk inserted (_drain_chunk), the way the
+        # reference's loop thread consumes a keyframe queue without ever
+        # blocking tracking (LoopClosing.cc:1108).
         return (
             self.state == OK
             and self.covis_ba
-            and self.loop_closer is None
-            and self.atlas is None
-            and self._gba is None
+            # An in-flight chunked GBA does NOT block chunking: the solve
+            # runs on a snapshot, keyframes the chunks insert meanwhile
+            # fold in via apply_global_ba_partial's relative-pose
+            # propagation (exactly the reference's GBA-vs-tracking
+            # concurrency, LoopClosing.cc:3660-3780); chunks poll the
+            # solve at their boundaries.
             and self.track_window is None
             and self.track_dev is None  # chunk fuses track+map: no 2-chip split
             and self.bf == 0.0  # chunk KF body builds mono-only BA rows
@@ -656,15 +695,29 @@ class MonoSlam:
         (poses appear in the trajectory after the NEXT call or flush —
         chunk results are prefetched one chunk behind). Falls back to
         per-frame processing whenever the chunked fast path does not
-        apply."""
+        apply.
+
+        ``imgs`` may be a list of host frames, an already-uploaded
+        [C,H,W] device stack, or ``(stack [N,H,W], offset)`` — a window
+        into a preloaded device-resident sequence (fastest: the chunk is
+        sliced on device, nothing crosses the host link but one packed
+        scalar vector each way)."""
         import numpy as _np
 
         self._drain_chunk()
+        self._poll_gba()  # advance an in-flight global BA between chunks
+        if isinstance(imgs, tuple):
+            fallback_imgs = _ChunkReplayView(imgs[0], int(imgs[1]))
+        else:
+            fallback_imgs = imgs
         if not self._chunkable():
-            for im, ts in zip(imgs, tss):
-                self.process_frame(im, float(ts))
+            for i, ts in enumerate(tss):
+                self.process_frame(fallback_imgs[i], float(ts))
             return
-        self.flush()  # settle the single-frame pipeline's async state
+        # Settle the single-frame pipeline's async state (but do NOT
+        # force-drain an in-flight GBA — chunks coexist with it).
+        self._drain_pending()
+        self._apply_kf_async(force=True)
         # Worst-case keyframe density inside a chunk is one every 2 frames
         # (the weak-tracking branch of need_kf), not 1/kf_every — reserve
         # for that so the in-chunk K_cap guard can never silently drop
@@ -675,47 +728,67 @@ class MonoSlam:
         last = getattr(self, "_last_frame_ts", None)
         gaps = _np.diff(_np.concatenate([[last if last is not None else tss[0]], tss]))
         if _np.any(gaps > self.ts_jump_threshold):
-            for im, ts in zip(imgs, tss):
-                self.process_frame(im, float(ts))
+            for i, ts in enumerate(tss):
+                self.process_frame(fallback_imgs[i], float(ts))
             return
         self._last_frame_ts = float(tss[-1])
-        from .device_loop import LoopCarry
-
-        carry = LoopCarry(
-            m=self.map,
-            R=jnp.asarray(self.R_cur), t=jnp.asarray(self.t_cur),
-            vel_R=jnp.asarray(self.vel_R), vel_t=jnp.asarray(self.vel_t),
-            n_kf=jnp.asarray(self.n_kf, jnp.int32),
-            n_pts=jnp.asarray(self.n_pts, jnp.int32),
-            last_kf_fid=jnp.asarray(self.last_kf_frame, jnp.int32),
-            alive=jnp.asarray(True),
-        )
-        fids = jnp.arange(len(tss), dtype=jnp.int32) + self.frame_id
-        if isinstance(imgs, jnp.ndarray):
-            # Already a (device-resident) stack — e.g. a dataset window
-            # preloaded in one bulk transfer (the replay equivalent of the
-            # reference reading RAM-cached dataset images): no per-chunk
-            # host processing or link transfer.
-            imgs_dev = imgs
-        else:
-            imgs_dev = jnp.asarray(
-                _np.clip(_np.stack(imgs), 0, 255).astype(_np.uint8)
-                if self.transfer_uint8 else
-                _np.stack(imgs).astype(_np.float32)
+        if isinstance(imgs, tuple):
+            # (device-resident stack [N,H,W], offset): the fastest path —
+            # a dataset window preloaded in one bulk transfer (the replay
+            # equivalent of the reference reading RAM-cached images). The
+            # whole chunk input (carry scalars + timestamps) ships as ONE
+            # packed f32 vector and frames are sliced on device: over
+            # the TPU tunnel every separate transfer leaf costs a ~20 ms
+            # round trip, which otherwise dominates the 11 ms/frame
+            # chunk compute.
+            stack, off = imgs
+            C = len(tss)
+            pk = _np.concatenate([
+                self.R_cur.reshape(-1), self.t_cur.reshape(-1),
+                self.vel_R.reshape(-1), self.vel_t.reshape(-1),
+                _np.asarray([self.n_kf, self.n_pts, self.last_kf_frame,
+                             1.0, self.frame_id, off], _np.float32),
+                _np.asarray(tss, _np.float32),
+            ]).astype(_np.float32)
+            self.map, packed = self._chunk_runner().packed(
+                self.map, stack, jnp.asarray(pk), chunk=C,
             )
-        carry2, outs = self._chunk_runner()(
-            carry, imgs_dev, jnp.asarray(tss, jnp.float32), fids,
-        )
-        self.map = carry2.m
-        # ONE packed f32 fetch: over the TPU tunnel a device_get costs a
-        # round trip per array leaf, so fetching the raw pytree (~17
-        # leaves) costs ~5x the chunk's compute (see device_loop).
-        from .device_loop import pack_chunk_result
+            replay_imgs = fallback_imgs
+        else:
+            from .device_loop import LoopCarry
 
-        packed = pack_chunk_result(outs, carry2)
+            carry = LoopCarry(
+                m=self.map,
+                R=jnp.asarray(self.R_cur), t=jnp.asarray(self.t_cur),
+                vel_R=jnp.asarray(self.vel_R), vel_t=jnp.asarray(self.vel_t),
+                n_kf=jnp.asarray(self.n_kf, jnp.int32),
+                n_pts=jnp.asarray(self.n_pts, jnp.int32),
+                last_kf_fid=jnp.asarray(self.last_kf_frame, jnp.int32),
+                alive=jnp.asarray(True),
+            )
+            fids = jnp.arange(len(tss), dtype=jnp.int32) + self.frame_id
+            if isinstance(imgs, jnp.ndarray):
+                imgs_dev = imgs
+            else:
+                imgs_dev = jnp.asarray(
+                    _np.clip(_np.stack(imgs), 0, 255).astype(_np.uint8)
+                    if self.transfer_uint8 else
+                    _np.stack(imgs).astype(_np.float32)
+                )
+            carry2, outs = self._chunk_runner()(
+                carry, imgs_dev, jnp.asarray(tss, jnp.float32), fids,
+            )
+            self.map = carry2.m
+            # ONE packed f32 fetch: over the TPU tunnel a device_get
+            # costs a round trip per array leaf, so fetching the raw
+            # pytree (~17 leaves) costs ~5x the chunk's compute.
+            from .device_loop import pack_chunk_result
+
+            packed = pack_chunk_result(outs, carry2)
+            replay_imgs = imgs
         self._chunk_pending = {
             "fut": self._io.submit(jax.device_get, packed),
-            "tss": tss, "imgs": imgs, "fid0": self.frame_id,
+            "tss": tss, "imgs": replay_imgs, "fid0": self.frame_id,
         }
         self.frame_id += len(tss)
 
@@ -769,6 +842,25 @@ class MonoSlam:
                     ))
         if self.on_frame is not None and len(p["tss"]):
             self._maybe_publish_points(float(p["tss"][-1]))
+        # Loop closing / Atlas merging over the chunk's new keyframes —
+        # the boundary-interleaved shape of the reference's asynchronous
+        # loop thread (it consumes KFs from a queue; here the "queue" is
+        # the chunk's is_kf list).
+        new_kf_slots = [
+            int(outs["ref"][i]) for i in range(len(p["tss"]))
+            if bool(outs["is_kf"][i]) and bool(outs["alive"][i])
+        ]
+        if self.loop_closer is not None:
+            for kf_id in new_kf_slots:
+                self.key, sub = jax.random.split(self.key)
+                self.loop_closer.try_close(self, kf_id, sub)
+        if self.atlas is not None and self.atlas.maps:
+            for kf_id in new_kf_slots:
+                if kf_id % 4 == 0:
+                    self.key, sub = jax.random.split(self.key)
+                    self._freeze_rel_traj()
+                    self.atlas.merge_current_into(self, 0, sub)
+                    break
         if not bool(alive):
             # Tracking failed at some frame: mark LOST and replay the
             # dead tail through the single-frame path (relocalization,
@@ -856,7 +948,9 @@ class MonoSlam:
 
         g = self._gba
         it = min(g["chunk"], g["target"] - g["done"])
-        res = ba_pcg.bundle_adjust_pcg(g["prob"], n_iters=it, n_cg=g["n_cg"])
+        res = ba_pcg.bundle_adjust_pcg(
+            g["prob"], n_iters=it, n_cg=g["n_cg"], cam_model=self.cam_model
+        )
         g["prob"] = g["prob"]._replace(R=res.R, t=res.t, X=res.X)
         g["res"] = res
         g["done"] += it
@@ -921,14 +1015,21 @@ class MonoSlam:
             R0 = self.map.kf_R[int(c)]
             t0_ = self.map.kf_t[int(c)]
             X, uv, ok = _reloc_pnp_inputs(self.map, jnp.asarray(int(c)), feats)
+            pnp_cam = self.cam_params
+            if self.cam_model == "kb8":
+                fx = float(np.asarray(self.cam_params)[0])
+                uv = cameras.kb8_unproject(self.cam_params, uv)[:, :2] * fx
+                pnp_cam = jnp.asarray(
+                    [fx, fx, 0.0, 0.0, 0, 0, 0, 0, 0], jnp.float32
+                )
             if int(jax.device_get(ok.sum())) >= 15:
                 self.key, sub = jax.random.split(self.key)
-                pres = pnp.solve_pnp(X, uv, ok, self.cam_params, sub)
+                pres = pnp.solve_pnp(X, uv, ok, pnp_cam, sub)
                 if bool(jax.device_get(pres.ok)):
                     R0, t0_ = pres.R, pres.t
             res = tracking.track_against_map(
                 self.map, feats, R0, t0_, self.cam_params,
-                self.width, self.height,
+                self.width, self.height, cam_model=self.cam_model,
             )
             n_inl, R_new, t_new = jax.device_get((res.n_inliers, res.R, res.t))
             if int(n_inl) >= 30:
@@ -976,9 +1077,23 @@ class MonoSlam:
         xy1 = np.asarray(self.init_feats.xy)
         xy2 = np.asarray(feats.xy)[np.clip(idx, 0, None)]
         self.key, sub = jax.random.split(self.key)
+        init_cam = self.cam_params
+        if self.cam_model == "kb8":
+            # Fisheye init: H/F RANSAC runs on fx-scaled BEARINGS (a
+            # centered virtual pinhole) — the pixel-space epipolar
+            # geometry of a fisheye image is not linear. Thresholds keep
+            # their pixel meaning near the image center.
+            fx = float(np.asarray(self.cam_params)[0])
+            b1 = cameras.kb8_unproject(self.cam_params, jnp.asarray(xy1))
+            b2 = cameras.kb8_unproject(self.cam_params, jnp.asarray(xy2))
+            xy1 = np.asarray(b1[:, :2]) * fx
+            xy2 = np.asarray(b2[:, :2]) * fx
+            init_cam = jnp.asarray(
+                [fx, fx, 0.0, 0.0, 0, 0, 0, 0, 0], jnp.float32
+            )
         res = ransac.two_view_init(
             jnp.asarray(xy1), jnp.asarray(xy2), jnp.asarray(matched),
-            self.cam_params, sub,
+            init_cam, sub,
         )
         if not bool(res.ok) or int(res.n_good) < 50:
             return None
@@ -1073,7 +1188,7 @@ class MonoSlam:
         res = tracking.track_against_map(
             tm, feats, jnp.asarray(R_pred), jnp.asarray(t_pred),
             self.cam_params, self.width, self.height, pt_mask=pt_mask,
-            schedule=self._current_schedule(),
+            schedule=self._current_schedule(), cam_model=self.cam_model,
         )
         return self._track_post(feats, res, ts)
 
@@ -1289,7 +1404,7 @@ class MonoSlam:
             # admit them into free slots, all on device.
             tri = tracking.triangulate_with_ref(
                 self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1),
-                self.cam_params,
+                self.cam_params, cam_model=self.cam_model,
             )
             self.map, n_new = map_updates.admit_new_points(
                 self.map, jnp.asarray(kf_id), jnp.asarray(kf_id - 1), tri,
@@ -1299,6 +1414,7 @@ class MonoSlam:
                 self.map, _ = map_updates.fuse_in_neighbors(
                     self.map, jnp.asarray(kf_id), self.cam_params,
                     self.width, self.height, n_neighbors=self.fuse_neighbors,
+                    cam_model=self.cam_model,
                 )
             self._run_local_ba(n_iters=self.local_ba_iters)
             self.map = map_updates.cull_points(self.map, jnp.asarray(self.n_kf))
@@ -1313,7 +1429,6 @@ class MonoSlam:
                 )
         if (
             self.pipelined
-            and self.loop_closer is None
             and self.atlas is None
         ):
             # Fully async keyframe work: nothing here blocks on the
@@ -1322,6 +1437,9 @@ class MonoSlam:
             # count and the BA-refined pose are fetched at a later drain
             # once the copies have landed; until then the tracked
             # (pre-BA) pose serves as the provisional ref-cache entry.
+            # A LoopCloser defers too: the closure attempt runs when the
+            # keyframe result drains (_apply_kf_async), exactly the
+            # reference's KF-queue handoff to the loop thread.
             handles = (n_new, self.map.kf_R[kf_id], self.map.kf_t[kf_id])
             self._kf_async = (kf_id, self._io.submit(jax.device_get, handles))
             self._set_ref_cache(kf_id, self.R_cur, self.t_cur)
@@ -1364,6 +1482,13 @@ class MonoSlam:
             self._ref_cache is None or self._ref_cache[0] == kf_id
         ):
             self._set_ref_cache(kf_id, R_ref, t_ref)
+        # Deferred loop-closure attempt for the drained keyframe (the
+        # reference's Tracking->LoopClosing KF queue): runs only now, so
+        # keyframe work never blocks the frame loop on closure checks.
+        if self.loop_closer is not None:
+            self.key, sub = jax.random.split(self.key)
+            if self.loop_closer.try_close(self, kf_id, sub):
+                self._sync_replica()
 
     def _run_local_ba(self, n_iters):
         if self.n_kf < 2:
@@ -1401,7 +1526,8 @@ class MonoSlam:
             bf=jnp.asarray(self.bf, jnp.float32), entry_valid=entry_valid,
         )
         res = ba.bundle_adjust(
-            prob, n_iters=n_iters, row_n=self.N, rel_tol=1e-3
+            prob, n_iters=n_iters, row_n=self.N, rel_tol=1e-3,
+            cam_model=self.cam_model,
         )
         self.map = local_mapping.apply_local_ba(
             self.map, window_ids, sel, res, entry_valid

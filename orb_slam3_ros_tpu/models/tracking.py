@@ -45,6 +45,7 @@ class TrackResult(NamedTuple):
 def _project_points(
     m: MapState, R, t, cam_params, width, height, margin=2.0, scale=1.2,
     n_levels=8, band_lo=0.8, band_hi=1.2, view_min=0.5, predict_scale=False,
+    cam_model="pinhole",
 ):
     """Frustum + viewing-statistics gate and scale prediction — the
     reference's ``Frame::isInFrustum`` (Frame.cc:512: distance within the
@@ -66,7 +67,7 @@ def _project_points(
     in-repo datasets (measured: ~45% of points re-detect 1-2 octaves off
     the prediction there, which starves the level-windowed matcher)."""
     Xc = jnp.einsum("ij,pj->pi", R, m.pt_X) + t
-    uv = cameras.pinhole_project_nodist(cam_params, Xc)
+    uv = cameras.project_model(cam_params, Xc, cam_model)
     O_w = -R.T @ t
     po = m.pt_X - O_w
     dist = jnp.linalg.norm(po, axis=-1)
@@ -99,12 +100,12 @@ def _project_points(
 def _match_and_pose(
     m: MapState, feats: Features, R, t, cam_params, width, height, radius,
     scale, rounds, iters, band_lo=0.8, band_hi=1.2, view_min=0.5,
-    predict_scale=False,
+    predict_scale=False, cam_model="pinhole",
 ):
     uv_proj, proj_ok, pred_level = _project_points(
         m, R, t, cam_params, width, height, scale=scale,
         band_lo=band_lo, band_hi=band_hi, view_min=view_min,
-        predict_scale=predict_scale,
+        predict_scale=predict_scale, cam_model=cam_model,
     )
     idx, dist = matching.search_by_projection(
         uv_proj, proj_ok, pred_level, m.pt_desc_sign, feats,
@@ -116,7 +117,7 @@ def _match_and_pose(
     inv_sigma2 = (1.0 / scale ** (2.0 * feats.level[fidx].astype(jnp.float32)))
     res = pose_opt.pose_optimization(
         R, t, m.pt_X, obs_uv, inv_sigma2, matched, cam_params,
-        rounds=rounds, iters_per_round=iters,
+        rounds=rounds, iters_per_round=iters, cam_model=cam_model,
     )
     return res, idx, proj_ok
 
@@ -124,7 +125,8 @@ def _match_and_pose(
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "scale", "predict_scale", "schedule", "track_cap"
+        "width", "height", "scale", "predict_scale", "schedule",
+        "track_cap", "cam_model",
     ),
 )
 def track_against_map(
@@ -140,6 +142,7 @@ def track_against_map(
     predict_scale: bool = False,
     schedule: tuple = None,
     track_cap: int | None = None,
+    cam_model: str = "pinhole",
 ) -> TrackResult:
     """Coarse-to-fine project/match/optimize against the full point table.
 
@@ -174,6 +177,7 @@ def track_against_map(
         _, vis, _ = _project_points(
             m, R_pred, t_pred, cam_params, width, height, scale=scale,
             margin=20.0, band_lo=0.4, band_hi=2.5, view_min=0.0,
+            cam_model=cam_model,
         )
         P32 = jnp.float32(P_full)
         score = (
@@ -199,12 +203,13 @@ def track_against_map(
     res, _, _ = _match_and_pose(
         m, feats, R_pred, t_pred, cam_params, width, height,
         radius=radius0, scale=scale, rounds=rounds0, iters=iters0,
-        band_lo=0.4, band_hi=2.5, view_min=0.0,
+        band_lo=0.4, band_hi=2.5, view_min=0.0, cam_model=cam_model,
     )
     for radius_i, rounds_i, iters_i in schedule[1:]:
         res, idx2, proj_ok = _match_and_pose(
             m, feats, res.R, res.t, cam_params, width, height,
             radius=radius_i, scale=scale, rounds=rounds_i, iters=iters_i,
+            cam_model=cam_model,
         )
     res2 = res
     # Invert point->feature map into per-feature point ids (inliers only).
@@ -237,13 +242,14 @@ class TriangulationResult(NamedTuple):
     n_new: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("scale",))
+@partial(jax.jit, static_argnames=("scale", "cam_model"))
 def triangulate_with_ref(
     m: MapState,
     new_kf: jnp.ndarray,
     ref_kf: jnp.ndarray,
     cam_params: jnp.ndarray,
     scale: float = 1.2,
+    cam_model: str = "pinhole",
 ) -> TriangulationResult:
     """Epipolar-search + DLT new-landmark creation between the newest
     keyframe and a covisible reference (LocalMapping::CreateNewMapPoints,
@@ -262,23 +268,44 @@ def triangulate_with_ref(
     )
     R1, t1 = m.kf_R[new_kf], m.kf_t[new_kf]  # Tcw of new
     R2, t2 = m.kf_R[ref_kf], m.kf_t[ref_kf]
-    K = triangulate.K_matrix(cam_params)
     # relative: x_ref = R21 x_new + t21 with 1=new, 2=ref
     R21 = R2 @ R1.T
     t21 = t2 - R21 @ t1
     R12 = R21.T
     t12 = -R21.T @ t21
-    F12 = triangulate.fundamental_from_poses(K, K, R12, t12)
-    idx, dist = matching.search_for_triangulation(
-        f_new, f_ref, F12,
-        already_matched1=m.kf_obs[new_kf] >= 0,
-        already_matched2=m.kf_obs[ref_kf] >= 0,
-        scale=scale,
-    )
+    if cam_model == "kb8":
+        # KB8: the epipolar gate runs on unprojected BEARINGS with the
+        # essential matrix (the reference's GeometricCamera::
+        # epipolarConstrain path for fisheye, KannalaBrandt8.cpp) — the
+        # pixel-space epipolar "line" of a fisheye camera is a curve.
+        # Bearings are scaled by fx (a centered virtual pinhole) so the
+        # Sampson tolerance keeps its pixel-unit meaning.
+        fx = cam_params[0]
+        bear1 = cameras.kb8_unproject(cam_params, f_new.xy)[..., :2] * fx
+        bear2 = cameras.kb8_unproject(cam_params, f_ref.xy)[..., :2] * fx
+        Kv = jnp.asarray(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], t21.dtype
+        ).at[0, 0].set(fx).at[1, 1].set(fx)
+        F12 = triangulate.fundamental_from_poses(Kv, Kv, R12, t12)
+        idx, dist = matching.search_for_triangulation(
+            f_new._replace(xy=bear1), f_ref._replace(xy=bear2), F12,
+            already_matched1=m.kf_obs[new_kf] >= 0,
+            already_matched2=m.kf_obs[ref_kf] >= 0,
+            scale=scale,
+        )
+    else:
+        K = triangulate.K_matrix(cam_params)
+        F12 = triangulate.fundamental_from_poses(K, K, R12, t12)
+        idx, dist = matching.search_for_triangulation(
+            f_new, f_ref, F12,
+            already_matched1=m.kf_obs[new_kf] >= 0,
+            already_matched2=m.kf_obs[ref_kf] >= 0,
+            scale=scale,
+        )
     matched = idx >= 0
     ridx = jnp.clip(idx, 0, m.N - 1)
-    rays1 = cameras.pinhole_unproject(cam_params, f_new.xy)
-    rays2 = cameras.pinhole_unproject(cam_params, f_ref.xy[ridx])
+    rays1 = cameras.unproject_model(cam_params, f_new.xy, cam_model)
+    rays2 = cameras.unproject_model(cam_params, f_ref.xy[ridx], cam_model)
     X1 = triangulate.triangulate_dlt(rays1, rays2, R21, t21)
     X2 = X1 @ R21.T + t21
     # Checks (mirroring CreateNewMapPoints): cheirality, parallax,
@@ -286,10 +313,10 @@ def triangulate_with_ref(
     C2_in_1 = -R21.T @ t21
     cospar = triangulate.parallax_cos(X1, C2_in_1)
     e1 = jnp.sum(
-        (cameras.pinhole_project_nodist(cam_params, X1) - f_new.xy) ** 2, -1
+        (cameras.project_model(cam_params, X1, cam_model) - f_new.xy) ** 2, -1
     )
     e2 = jnp.sum(
-        (cameras.pinhole_project_nodist(cam_params, X2) - f_ref.xy[ridx]) ** 2, -1
+        (cameras.project_model(cam_params, X2, cam_model) - f_ref.xy[ridx]) ** 2, -1
     )
     sig2_1 = scale ** (2.0 * f_new.level.astype(jnp.float32))
     sig2_2 = scale ** (2.0 * f_ref.level[ridx].astype(jnp.float32))

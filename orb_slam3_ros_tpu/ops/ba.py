@@ -97,13 +97,17 @@ def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return cof * inv_det[..., None, None]
 
 
-def _edge_res_jac(R, t, X, uv, ur, bf, cam_params):
+def _edge_res_jac(R, t, X, uv, ur, bf, cam_params, cam_model: str = "pinhole"):
     """3-dim (u, v, u_r) residual/Jacobians; the u_r row is zeroed for
-    monocular edges (ur < 0), which reduces exactly to the 2-dim case."""
+    monocular edges (ur < 0), which reduces exactly to the 2-dim case.
+    ``cam_model`` selects the projection (pinhole | kb8; stereo rows are
+    pinhole-only, like the reference's rectified-stereo EdgeStereo)."""
     Xc = jnp.einsum("ij,j->i", R, X) + t
-    pred = cameras.pinhole_project_nodist(cam_params, Xc)
-    Jproj = cameras.pinhole_project_jac(cam_params, Xc)  # [2,3]
+    pred = cameras.project_model(cam_params, Xc, cam_model)
+    Jproj = cameras.project_jac_model(cam_params, Xc, cam_model)  # [2,3]
     has_st = (ur >= 0).astype(X.dtype)
+    if cam_model == "kb8":
+        has_st = jnp.zeros((), X.dtype)
     z = Xc[2]
     z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     ur_pred = pred[0] - bf / z_safe
@@ -116,14 +120,17 @@ def _edge_res_jac(R, t, X, uv, ur, bf, cam_params):
     return r, Jc, Jp
 
 
-_vedge = jax.vmap(_edge_res_jac, in_axes=(0, 0, 0, 0, 0, None, None))
-
-
-def _gather_edges(prob: BAProblem, R, t, X):
+def _gather_edges(prob: BAProblem, R, t, X, cam_model: str = "pinhole"):
     Re = R[prob.cam_idx]
     te = t[prob.cam_idx]
     Xe = X[prob.pt_idx]
-    return _vedge(Re, te, Xe, prob.uv, prob.ur, prob.bf, prob.cam_params)
+    vedge = jax.vmap(
+        lambda Re, te, Xe, uv, ur: _edge_res_jac(
+            Re, te, Xe, uv, ur, prob.bf, prob.cam_params, cam_model
+        ),
+        in_axes=(0, 0, 0, 0, 0),
+    )
+    return vedge(Re, te, Xe, prob.uv, prob.ur)
 
 
 def _robust_cost(chi2, w_valid, delta2):
@@ -132,7 +139,7 @@ def _robust_cost(chi2, w_valid, delta2):
     return jnp.sum(jnp.where(w_valid, rho, 0.0))
 
 
-@partial(jax.jit, static_argnames=("n_iters", "use_robust", "row_n", "rel_tol"))
+@partial(jax.jit, static_argnames=("n_iters", "use_robust", "row_n", "rel_tol", "cam_model"))
 def bundle_adjust(
     prob: BAProblem,
     n_iters: int = 10,
@@ -141,6 +148,7 @@ def bundle_adjust(
     lam0: float = 1e-3,
     row_n: int | None = None,
     rel_tol: float = 0.0,
+    cam_model: str = "pinhole",
 ) -> BAResult:
     """Run ``n_iters`` LM iterations of full BA on the problem.
 
@@ -187,7 +195,7 @@ def bundle_adjust(
         fe = jnp.clip(inv_feat, 0, row_n - 1)
 
     def chi2_of(R, t, X):
-        r, _, _ = _gather_edges(prob, R, t, X)
+        r, _, _ = _gather_edges(prob, R, t, X, cam_model)
         return jnp.sum(r * r, axis=-1) * prob.inv_sigma2
 
     def cost_of(R, t, X):
@@ -198,7 +206,7 @@ def bundle_adjust(
 
     def step(carry, _):
         R, t, X, lam, cost = carry[:5]
-        r, Jc, Jp = _gather_edges(prob, R, t, X)  # [E,3],[E,3,6],[E,3,3]
+        r, Jc, Jp = _gather_edges(prob, R, t, X, cam_model)  # [E,3],[E,3,6],[E,3,3]
         chi2 = jnp.sum(r * r, axis=-1) * prob.inv_sigma2
         w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
         w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)  # [E]

@@ -153,8 +153,33 @@ def kb8_project_jac(params, X):
 
 
 # ---------------------------------------------------------------------------
-# Generic helpers
+# Static model dispatch (the GeometricCamera virtual interface,
+# GeometricCamera.h:43-106, resolved at trace time: each jitted pipeline
+# program is specialized to its camera model).
 # ---------------------------------------------------------------------------
+
+
+def project_model(params, X, model: str = "pinhole"):
+    """Distortion-free projection under ``model`` (the optimizer's
+    forward model: pinhole works on pre-undistorted observations like the
+    reference, KB8 observations are raw fisheye pixels)."""
+    if model == "kb8":
+        return kb8_project(params, X)
+    return pinhole_project_nodist(params, X)
+
+
+def project_jac_model(params, X, model: str = "pinhole"):
+    if model == "kb8":
+        flatX = X.reshape(-1, 3)
+        J = jax.vmap(jax.jacfwd(lambda q: kb8_project(params, q)))(flatX)
+        return J.reshape(X.shape[:-1] + (2, 3))
+    return pinhole_project_jac(params, X)
+
+
+def unproject_model(params, uv, model: str = "pinhole"):
+    if model == "kb8":
+        return kb8_unproject(params, uv)
+    return pinhole_unproject(params, uv)
 
 
 def in_image(uv, width: int, height: int, margin: float = 0.0):

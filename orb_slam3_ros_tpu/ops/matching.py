@@ -221,6 +221,7 @@ def search_for_triangulation(
     already_matched2: jnp.ndarray,
     max_dist: int = hamming.TH_LOW,
     scale: float = 1.2,
+    base_tol: float = 3.84,
 ):
     """Epipolar-constrained match of yet-unmatched features between two
     keyframes for new-landmark triangulation (ORBmatcher.cc:907-1147).
@@ -229,7 +230,7 @@ def search_for_triangulation(
     landmark (excluded, like the reference's vbMatched checks).
     """
     dist = hamming.hamming_matrix(f1.desc_sign, f2.desc_sign)
-    epi = epipolar_mask(F12, f1.xy, f2.xy, f2.level, scale=scale)
+    epi = epipolar_mask(F12, f1.xy, f2.xy, f2.level, scale=scale, base_tol=base_tol)
     mask = (
         epi
         & f1.valid[:, None]

@@ -34,19 +34,19 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray  # [N] final per-edge chi2 (sigma-normalized)
 
 
-def _residual_jac(R, t, Xw, uv, cam_params):
+def _residual_jac(R, t, Xw, uv, cam_params, cam_model: str = "pinhole"):
     """Per-edge reprojection residual [2] and Jacobian [2, 6] wrt the
-    left-multiplicative se3 perturbation of Tcw."""
+    left-multiplicative se3 perturbation of Tcw. ``cam_model`` selects
+    the projection (pinhole | kb8 — the reference's
+    EdgeSE3ProjectXYZOnlyPose calls the camera's virtual projectJac,
+    OptimizableTypes.h:31/KannalaBrandt8.cpp)."""
     Xc = R @ Xw + t
-    pred = cameras.pinhole_project_nodist(cam_params, Xc)
+    pred = cameras.project_model(cam_params, Xc, cam_model)
     r = pred - uv
-    Jproj = cameras.pinhole_project_jac(cam_params, Xc)  # [2,3]
+    Jproj = cameras.project_jac_model(cam_params, Xc, cam_model)  # [2,3]
     # dXc/d[rho, phi] = [I, -hat(Xc)]
     JX = jnp.concatenate([jnp.eye(3, dtype=Xc.dtype), -lie.hat(Xc)], axis=-1)  # [3,6]
     return r, Jproj @ JX
-
-
-_vres = jax.vmap(_residual_jac, in_axes=(None, None, 0, 0, None))
 
 
 def pose_optimization(
@@ -60,6 +60,7 @@ def pose_optimization(
     rounds: int = 4,
     iters_per_round: int = 10,
     chi2_th: float = robust.CHI2_MONO,
+    cam_model: str = "pinhole",
 ) -> PoseOptResult:
     """Optimize Tcw given fixed 3-D points and their observations.
 
@@ -78,9 +79,13 @@ def pose_optimization(
     threshold, exactly like g2o re-includes level-0 edges.
     """
     dtype = R0.dtype
+    _vres = jax.vmap(
+        lambda R, t, X, u: _residual_jac(R, t, X, u, cam_params, cam_model),
+        in_axes=(None, None, 0, 0),
+    )
 
     def compute_quad(R, t, active):
-        r, J = _vres(R, t, Xw, uv, cam_params)  # [N,2], [N,2,6]
+        r, J = _vres(R, t, Xw, uv)  # [N,2], [N,2,6]
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         w_rob = robust.huber_weight(chi2, chi2_th)
         w = inv_sigma2 * w_rob * active.astype(dtype)

@@ -76,10 +76,63 @@ def train_vocabulary(
         new_C = np.where(sums >= 0, 1.0, -1.0)  # bitwise median of +-1
         empty = counts == 0
         if empty.any():
-            worst = np.argsort(best)[: int(empty.sum())]
-            new_C[empty] = D[worst]
+            # Re-seed empty clusters from the worst-represented samples;
+            # with fewer samples than empty slots (tiny fine cells in the
+            # hierarchical trainer) the surplus slots keep their previous
+            # centers.
+            n_res = min(int(empty.sum()), M)
+            worst = np.argsort(best)[:n_res]
+            idx_empty = np.nonzero(empty)[0][:n_res]
+            new_C[empty] = C[empty]
+            new_C[idx_empty] = D[worst]
         C = new_C
     return C.astype(np.int8)
+
+
+MAX_WORDS = 8192  # two-level training budget (DBoW2 tree: k=10, L=6)
+
+
+def train_vocabulary_hier(
+    desc_sign: np.ndarray,
+    n_words: int = MAX_WORDS,
+    branching: int = 128,
+    iters: int = 8,
+    seed: int = 11,
+) -> np.ndarray:
+    """Two-level k-medians -> flat [n_words, 256] vocabulary.
+
+    The reference's DBoW2 vocabulary is a k=10, L=6 TREE (~10^6 leaves,
+    TemplatedVocabulary.h:1078) because a CPU must descend log-many
+    nodes per descriptor; on the MXU the full [N, A] correlation matmul
+    is cheap, so the tree survives only as a TRAINING decomposition:
+    coarse k-medians into ``n_words // branching`` cells, then k-medians
+    with ``branching`` centers INSIDE each cell — O(M*C + M*F) training
+    flops instead of O(M*n_words). Lookup stays the exact flat argmax
+    (strictly better quantization than tree descent).
+
+    Empty-sample cells fall back to seeded anchors so the output shape
+    is always [n_words, 256].
+    """
+    rng = np.random.default_rng(seed)
+    D = np.asarray(desc_sign, np.float32)
+    M = D.shape[0]
+    C = max(1, n_words // branching)
+    F = n_words // C
+    if M < 4 * C:  # too few samples for the hierarchy: flat fallback
+        return train_vocabulary(desc_sign, n_words=min(n_words, max(32, M)),
+                                iters=iters, seed=seed)
+    coarse = train_vocabulary(D, n_words=C, iters=iters, seed=seed)
+    assign = np.argmax(D @ coarse.astype(np.float32).T, axis=1)
+    out = np.empty((C * F, 256), np.float32)
+    for c in range(C):
+        Dc = D[assign == c]
+        if Dc.shape[0] == 0:
+            out[c * F : (c + 1) * F] = _make_anchors(seed + c, F)
+            continue
+        out[c * F : (c + 1) * F] = train_vocabulary(
+            Dc, n_words=F, iters=iters, seed=seed + c
+        )
+    return out.astype(np.int8)
 
 
 def _words_of(vocab: jnp.ndarray | None) -> jnp.ndarray:

@@ -1,0 +1,188 @@
+"""Two-camera (non-rectified) frames: cross-camera triangulation and
+body-frame observation factors.
+
+Role of the reference's fisheye-stereo machinery: ``Frame``'s two-camera
+constructor with the left-to-right extrinsic ``Tlr``
+(orb_slam3/include/Frame.h:346), ``ComputeStereoFishEyeMatches``
+(orb_slam3/src/Frame.cc:1126: brute-force descriptor match between the
+two fisheye views + triangulation + reprojection gating — NO rectified
+row search, fisheye epipolar curves make that impossible), and the
+``EdgeSE3ProjectXYZToBody`` factor (orb_slam3/include/
+OptimizableTypes.h:118-196: a landmark observed by the SECOND camera is
+projected through ``T_rl * T_lw``).
+
+TPU-first: the BF match is one MXU Hamming matmul; triangulation is the
+batched DLT over unprojected bearings; the body factor is the standard
+reprojection residual with a per-edge camera-selection mask — one fused
+program covers mixed left/right edge tables.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cameras, hamming, lie, matching, robust, triangulate
+from .orb import Features
+
+
+class CrossCamTriangulation(NamedTuple):
+    X_l: jnp.ndarray  # [N,3] points in the LEFT camera frame
+    right_feat: jnp.ndarray  # [N] matched feature idx in the right view
+    ok: jnp.ndarray  # [N]
+    n_new: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cam_model",))
+def triangulate_cross_camera(
+    f_left: Features,
+    f_right: Features,
+    R_rl: jnp.ndarray,  # [3,3] left->right extrinsic (X_r = R_rl X_l + t_rl)
+    t_rl: jnp.ndarray,  # [3]
+    cam_params_l: jnp.ndarray,
+    cam_params_r: jnp.ndarray,
+    cam_model: str = "kb8",
+    scale: float = 1.2,
+    max_dist: int = hamming.TH_LOW,
+) -> CrossCamTriangulation:
+    """ComputeStereoFishEyeMatches: descriptor match left<->right, DLT
+    triangulation of the bearing pair, cheirality + reprojection gates in
+    BOTH views (Frame.cc:1126-1227)."""
+    idx, dist = matching.search_frame_frame(
+        f_left, f_right, max_dist=max_dist, ratio=0.8
+    )
+    matched = idx >= 0
+    ridx = jnp.clip(idx, 0, f_right.xy.shape[0] - 1)
+    rays_l = cameras.unproject_model(cam_params_l, f_left.xy, cam_model)
+    rays_r = cameras.unproject_model(
+        cam_params_r, f_right.xy[ridx], cam_model
+    )
+    # triangulate_dlt solves with (rays1 in cam1, rays2 in cam2, R21,
+    # t21): here 1 = left, 2 = right.
+    X_l = triangulate.triangulate_dlt(rays_l, rays_r, R_rl, t_rl)
+    X_r = X_l @ R_rl.T + t_rl
+    e_l = jnp.sum(
+        (cameras.project_model(cam_params_l, X_l, cam_model) - f_left.xy)
+        ** 2,
+        -1,
+    )
+    e_r = jnp.sum(
+        (cameras.project_model(cam_params_r, X_r, cam_model)
+         - f_right.xy[ridx]) ** 2,
+        -1,
+    )
+    sig2_l = scale ** (2.0 * f_left.level.astype(jnp.float32))
+    sig2_r = scale ** (2.0 * f_right.level[ridx].astype(jnp.float32))
+    ok = (
+        matched
+        & jnp.all(jnp.isfinite(X_l), axis=-1)
+        & (X_l[:, 2] > 0.02)
+        & (X_r[:, 2] > 0.02)
+        & (e_l < robust.CHI2_MONO * sig2_l)
+        & (e_r < robust.CHI2_MONO * sig2_r)
+    )
+    return CrossCamTriangulation(
+        X_l=X_l, right_feat=ridx, ok=ok,
+        n_new=jnp.sum(ok.astype(jnp.int32)),
+    )
+
+
+def _residual_jac_body(
+    R, t, Xw, uv, is_right, R_rl, t_rl, cam_params, cam_model: str
+):
+    """Reprojection residual [2] / Jacobian [2,6] for a mixed left/right
+    edge: left edges project through T_lw, right edges through
+    T_rl * T_lw (EdgeSE3ProjectXYZToBody, OptimizableTypes.h:118)."""
+    Xc = R @ Xw + t  # left-camera frame
+    Xr = R_rl @ Xc + t_rl
+    Xuse = jnp.where(is_right, Xr, Xc)
+    pred = cameras.project_model(cam_params, Xuse, cam_model)
+    r = pred - uv
+    Jproj = cameras.project_jac_model(cam_params, Xuse, cam_model)  # [2,3]
+    JX = jnp.concatenate(
+        [jnp.eye(3, dtype=Xc.dtype), -lie.hat(Xc)], axis=-1
+    )  # dXc/d[rho,phi]
+    JX_use = jnp.where(is_right, R_rl @ JX, JX)
+    return r, Jproj @ JX_use
+
+
+@partial(jax.jit, static_argnames=("rounds", "iters_per_round", "cam_model"))
+def pose_optimization_two_cam(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    Xw: jnp.ndarray,  # [N,3]
+    uv: jnp.ndarray,  # [N,2] observed pixels (in whichever camera)
+    is_right: jnp.ndarray,  # [N] bool — observation from the second camera
+    R_rl: jnp.ndarray,
+    t_rl: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam_params: jnp.ndarray,
+    rounds: int = 3,
+    iters_per_round: int = 8,
+    chi2_th: float = robust.CHI2_MONO,
+    cam_model: str = "kb8",
+):
+    """Motion-only pose optimization over mixed left/right-camera edges —
+    the two-camera branch of PoseOptimization (Optimizer.cc:816 builds
+    EdgeSE3ProjectXYZOnlyPose(ToBody) per observation camera). Optimizes
+    T_lw; right-camera edges constrain it through the fixed Tlr."""
+    from .pose_opt import PoseOptResult
+
+    dtype = R0.dtype
+    vres = jax.vmap(
+        lambda R, t, X, u, ir: _residual_jac_body(
+            R, t, X, u, ir, R_rl, t_rl, cam_params, cam_model
+        ),
+        in_axes=(None, None, 0, 0, 0),
+    )
+
+    def compute_quad(R, t, active):
+        r, J = vres(R, t, Xw, uv, is_right)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        w_rob = robust.huber_weight(chi2, chi2_th)
+        w = inv_sigma2 * w_rob * active.astype(dtype)
+        H = jnp.einsum("nia,n,nib->ab", J, w, J)
+        g = -jnp.einsum("nia,n,ni->a", J, w, r)
+        cost = jnp.sum(jnp.where(active, jnp.minimum(chi2, chi2_th), 0.0))
+        return H, g, cost, chi2
+
+    def lm_round(carry, _):
+        R, t, active, lam = carry
+
+        def lm_step(i, st):
+            R, t, lam = st
+            H, g, cost, _ = compute_quad(R, t, active)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=dtype)
+            delta = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hd, lower=True), g
+            )
+            dR, dt = lie.se3_exp(delta)
+            R_new = lie.normalize_rotation(dR @ R)
+            t_new = dR @ t + dt
+            _, _, cost_new, _ = compute_quad(R_new, t_new, active)
+            better = cost_new < cost
+            R = jnp.where(better, R_new, R)
+            t = jnp.where(better, t_new, t)
+            lam = jnp.where(
+                better, jnp.maximum(lam * 0.5, 1e-6),
+                jnp.minimum(lam * 4.0, 1e4),
+            )
+            return (R, t, lam)
+
+        R, t, lam = jax.lax.fori_loop(0, iters_per_round, lm_step, (R, t, lam))
+        _, _, _, chi2 = compute_quad(R, t, valid)
+        active = valid & (chi2 <= chi2_th)
+        return (R, t, active, lam), None
+
+    init = (R0, t0, valid, jnp.asarray(1e-2, dtype))
+    (R, t, active, _), _ = jax.lax.scan(lm_round, init, None, length=rounds)
+    _, _, _, chi2 = compute_quad(R, t, valid)
+    inlier = valid & (chi2 <= chi2_th)
+    return PoseOptResult(
+        R=R, t=t, inlier=inlier,
+        n_inliers=jnp.sum(inlier.astype(jnp.int32)), chi2=chi2,
+    )

@@ -182,7 +182,7 @@ def _sample_tex(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("height", "width"))
+@partial(jax.jit, static_argnames=("height", "width", "cam_model"))
 def render(
     scene: RoomScene,
     R_wc: jnp.ndarray,
@@ -190,17 +190,27 @@ def render(
     cam_params: jnp.ndarray,
     height: int = 480,
     width: int = 752,
+    cam_model: str = "pinhole",
 ):
     """Render the camera view (grayscale [H, W] f32 in [0,255]) and the
     depth map [H, W] (z in camera frame) for pose (R_wc, t_wc) = camera
-    to world."""
-    fx, fy, cx, cy = cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+    to world. ``cam_model="kb8"`` renders raw fisheye imagery (ray per
+    pixel from the KB8 unprojection)."""
     ys = jnp.arange(height, dtype=jnp.float32)
     xs = jnp.arange(width, dtype=jnp.float32)
     xg, yg = jnp.meshgrid(xs, ys)
-    dirs_c = jnp.stack(
-        [(xg - cx) / fx, (yg - cy) / fy, jnp.ones_like(xg)], axis=-1
-    )
+    if cam_model == "kb8":
+        from ..ops import cameras as _cams
+
+        uv = jnp.stack([xg, yg], axis=-1)
+        dirs_c = _cams.kb8_unproject(cam_params, uv)
+    else:
+        fx, fy, cx, cy = (
+            cam_params[0], cam_params[1], cam_params[2], cam_params[3]
+        )
+        dirs_c = jnp.stack(
+            [(xg - cx) / fx, (yg - cy) / fy, jnp.ones_like(xg)], axis=-1
+        )
     dirs_w = jnp.einsum("ij,hwj->hwi", R_wc, dirs_c)
     origin = jnp.broadcast_to(t_wc, dirs_w.shape)
     ts, uvs = _ray_box_hits(origin, dirs_w, scene.half)

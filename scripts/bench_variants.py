@@ -1,0 +1,135 @@
+"""Throughput of the non-plain pipeline variants at the EuRoC-native
+752x480 workload (VERDICT r2 #3): mono + loop closing (chunked fast path
+with boundary closure checks) and mono-inertial (per-frame VI path).
+
+Prints one JSON line per variant. Run on the real TPU:
+    python scripts/bench_variants.py [plain|lc|vi ...]
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_mono(with_lc: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam3_ros_tpu.models.system import MonoSlam, OK
+    from orb_slam3_ros_tpu.utils import synth
+
+    H, W = 480, 752
+    # The LC variant runs denser keyframes and a warmup long enough that
+    # the vocabulary trains (n_kf >= 12), a first closure FIRES (the
+    # Sim3-verification + correction + GBA programs compile), and the
+    # post-closure GBA drains — so the timed region measures the steady
+    # state of a loop-closing session, not one-time XLA compiles.
+    n_frames, warm, chunk = (195, 105, 15) if with_lc else (120, 45, 15)
+    kf_every = 5 if with_lc else 8
+    seq = synth.make_sequence(n_frames=n_frames, height=H, width=W, dt=0.1, seed=3)
+    slam = MonoSlam(
+        height=H, width=W, cam_params=seq.cam_params, n_features=1000,
+        max_keyframes=64, max_points=4096,
+        kf_every=kf_every, fuse_every=3, stats_every=3, cull_every=3,
+        lean_after_kf=4, track_cap=768, transfer_uint8=True,
+        enable_loop_closing=with_lc,
+    )
+    slam._sched_lean = ((40.0, 2, 4), (4.0, 2, 4))
+    frames_dev = jnp.asarray(np.clip(np.stack(seq.images), 0, 255).astype(np.uint8))
+    jax.block_until_ready(frames_dev)
+    i = 0
+    while (slam.state != OK or not slam._chunkable()) and i < warm - chunk:
+        slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        i += 1
+    while i + chunk <= warm:
+        slam.process_frames((frames_dev, i), seq.timestamps[i : i + chunk])
+        i += chunk
+    while i < warm:
+        slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        i += 1
+    slam.flush()
+    t0 = time.time()
+    i = warm
+    while i + chunk <= n_frames:
+        slam.process_frames((frames_dev, i), seq.timestamps[i : i + chunk])
+        i += chunk
+    slam.flush()
+    fps = (i - warm) / (time.time() - t0)
+    return fps, len(slam.trajectory)
+
+
+def run_vi():
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam3_ros_tpu.models.inertial_system import InertialSlam
+    from orb_slam3_ros_tpu.ops import imu as imu_ops
+    from orb_slam3_ros_tpu.utils import synth
+
+    H, W = 480, 752
+    # Warm past ALL three IMU-init stages (kf_every=4, init at kf6,
+    # refinements at kf10/kf14 -> frame ~66) so no VIBA program compiles
+    # in the timed region.
+    n_frames, warm = 150, 90
+    freq = 100.0
+    seq, imu = synth.make_vi_sequence(
+        n_frames=n_frames, height=H, width=W, frame_dt=0.1, imu_per_frame=10,
+        seed=0, bg=np.array([0.01, -0.015, 0.02]), noise_g=1e-4, noise_a=1e-3,
+    )
+    calib = imu_ops.ImuCalib(
+        sigma_g=jnp.full((3,), 1.7e-4 * np.sqrt(freq), jnp.float32),
+        sigma_a=jnp.full((3,), 2e-3 * np.sqrt(freq), jnp.float32),
+        sigma_gw=jnp.full((3,), 1.9e-5 / np.sqrt(freq), jnp.float32),
+        sigma_aw=jnp.full((3,), 3e-3 / np.sqrt(freq), jnp.float32),
+        R_bc=jnp.eye(3),
+        t_bc=jnp.zeros(3),
+    )
+    slam = InertialSlam(
+        height=H, width=W, cam_params=seq.cam_params, n_features=1000,
+        max_keyframes=64, max_points=4096, kf_every=4,
+        calib=calib, init_after_kf=6, lean_after_kf=4, track_cap=768,
+    )
+    for i in range(warm):
+        slam.process_frame(
+            seq.images[i], float(seq.timestamps[i]),
+            acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
+        )
+    t0 = time.time()
+    for i in range(warm, n_frames):
+        slam.process_frame(
+            seq.images[i], float(seq.timestamps[i]),
+            acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
+        )
+    slam.flush()
+    fps = (n_frames - warm) / (time.time() - t0)
+    return fps, slam.imu_initialized
+
+
+def main():
+    which = sys.argv[1:] or ["plain", "lc", "vi"]
+    for name in which:
+        if name == "plain":
+            fps, n = run_mono(False)
+            extra = {"tracked": n}
+        elif name == "lc":
+            fps, n = run_mono(True)
+            extra = {"tracked": n}
+        else:
+            fps, init = run_vi()
+            extra = {"imu_initialized": bool(init)}
+        print(json.dumps({
+            "metric": f"752x480 throughput [{name}]",
+            "value": round(fps, 2), "unit": "frames/s",
+            "vs_baseline": round(fps / 20.0, 3), **extra,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

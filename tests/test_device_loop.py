@@ -10,19 +10,34 @@ from orb_slam3_ros_tpu.utils import synth
 from orb_slam3_ros_tpu.utils.evaluate_ate import ate_rmse
 
 
-def _run(seq, n, chunked, **kw):
+def _run(seq, n, chunked, preloaded=False, **kw):
+    # lean_after_kf low enough that _chunkable() actually admits the
+    # chunk path on these short sequences (it gates on map maturity).
+    kw.setdefault("lean_after_kf", 4)
     slam = MonoSlam(height=240, width=376, cam_params=seq.cam_params,
                     n_features=1200, max_keyframes=32, max_points=4096, **kw)
     i = 0
     if chunked:
+        stack = None
+        if preloaded:
+            import jax.numpy as jnp
+
+            kw_u8 = getattr(slam, "transfer_uint8", False)
+            stack = jnp.asarray(
+                np.clip(np.stack(seq.images), 0, 255).astype(np.uint8)
+                if kw_u8 else np.stack(seq.images).astype(np.float32)
+            )
         while slam.state != OK and i < n:
             slam.process_frame(seq.images[i], float(seq.timestamps[i]))
             i += 1
         while i < n:
             j = min(i + 8, n)
-            slam.process_frames(
-                [seq.images[k] for k in range(i, j)], seq.timestamps[i:j]
-            )
+            if preloaded and j - i == 8:
+                slam.process_frames((stack, i), seq.timestamps[i:j])
+            else:
+                slam.process_frames(
+                    [seq.images[k] for k in range(i, j)], seq.timestamps[i:j]
+                )
             i = j
     else:
         for i in range(n):
@@ -46,6 +61,18 @@ class TestDeviceLoop:
         assert nm_c >= nm_f - 2
         assert rmse_c < max(1.5 * rmse_f, 0.05), (rmse_c, rmse_f)
         assert slam_c.n_kf >= 4
+
+    def test_preloaded_window_matches_list_path(self):
+        """The (device stack, offset) packed single-upload path must
+        produce the same-quality trajectory as the list path."""
+        n = 40
+        seq = synth.make_sequence(n_frames=n, height=240, width=376,
+                                  dt=0.1, seed=3)
+        rmse_p, nm_p, slam_p = _run(seq, n, True, preloaded=True)
+        rmse_l, nm_l, _ = _run(seq, n, True)
+        assert nm_p >= nm_l - 2
+        assert rmse_p < max(1.5 * rmse_l, 0.05), (rmse_p, rmse_l)
+        assert slam_p.n_kf >= 4
 
     def test_track_cap_quality(self):
         """Local-map tracking compaction must not degrade accuracy."""

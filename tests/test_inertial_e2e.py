@@ -59,15 +59,15 @@ class TestInertialE2E:
             seq.t_wc, with_scale=True,
         )
         assert n >= 20
-        # Round-1 bound: the staged init leaves ~10-15% scale residual
-        # on this short (4.5 s) weakly-excited sequence; the reference
-        # refines further at its 5 s / 15 s VIBA stages.
-        assert abs(s - 1.0) < 0.2, f"scale after IMU init: {s}"
+        # Round-3 bound: the three-stage VIBA ladder (priors 1e2 -> 1 ->
+        # free, LocalMapping.cc:184-227) converges to few-percent scale
+        # like the reference's VIBA2 (measured 2.7% on this sequence).
+        assert abs(s - 1.0) < 0.05, f"scale after IMU init: {s}"
         rmse_m, _, _ = ate_rmse(
             ts[n_skip:], est[n_skip:], seq.timestamps.astype(np.float64),
             seq.t_wc, with_scale=False,
         )
-        assert rmse_m < 0.2, f"metric ATE {rmse_m:.3f}"
+        assert rmse_m < 0.1, f"metric ATE {rmse_m:.3f}"
 
     def test_gravity_aligned(self, slam_run):
         """After alignment, the world z-axis is gravity: GT and estimated
