@@ -16,6 +16,8 @@ visual-inertial BA (re-preintegrating windows at current biases).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +27,73 @@ from ..ops import lie, viba
 from ..utils import obslog
 from . import local_mapping, map_updates, tracking
 from .system import LOST, NOT_INITIALIZED, OK, RECENTLY_LOST, MonoSlam
+
+
+@partial(jax.jit, static_argnames=(
+    "width", "height", "fuse_neighbors", "do_fuse", "do_stats", "do_cull",
+    "n_iters", "n_levels", "cam_model",
+))
+def _vi_kf_work(
+    m, kf_id, R, t, ts, feats, feat_pt, n_pts, free_cap,
+    v_new, bg_new, ba_new, big, small, calib, cam_params, bf,
+    width, height, fuse_neighbors, do_fuse, do_stats, do_cull,
+    n_iters, n_levels, cam_model,
+):
+    """Fused per-keyframe VI program: insert -> record body state ->
+    triangulate -> admit -> fuse -> temporal-window VI-BA -> culls, as
+    ONE jitted dispatch returning ONE packed fetch — the inertial
+    counterpart of kf_work.keyframe_work (LocalMapping::Run with
+    LocalInertialBA, LocalMapping.cc:64-282 / Optimizer.cc:2528). The
+    unfused path cost ~775 ms/keyframe in tunnel dispatch latency alone.
+
+    ``big`` [W-1, S, 7]: per-edge IMU blocks (acc | gyro | dt);
+    ``small`` [3W-1]: window ids | fixed mask | edge_ok, f32-packed.
+    """
+    m = map_updates.insert_keyframe(m, kf_id, R, t, ts, feats, feat_pt)
+    m = m._replace(
+        kf_v=m.kf_v.at[kf_id].set(v_new),
+        kf_bg=m.kf_bg.at[kf_id].set(bg_new),
+        kf_ba=m.kf_ba.at[kf_id].set(ba_new),
+    )
+    tri = tracking.triangulate_with_ref(
+        m, kf_id, kf_id - 1, cam_params, cam_model=cam_model
+    )
+    m, n_new = map_updates.admit_new_points(
+        m, kf_id, kf_id - 1, tri, n_pts, free_cap
+    )
+    if do_fuse:
+        m, _ = map_updates.fuse_in_neighbors(
+            m, kf_id, cam_params, width, height,
+            n_neighbors=fuse_neighbors, cam_model=cam_model,
+        )
+    W_eff = (small.shape[0] + 1) // 3
+    window_ids = small[:W_eff].astype(jnp.int32)
+    fixed = small[W_eff : 2 * W_eff] > 0.5
+    edge_ok = small[2 * W_eff :] > 0.5
+    prob = local_mapping.build_vi_ba(
+        m, window_ids, fixed, big[..., 0:3], big[..., 3:6], big[..., 6],
+        edge_ok, calib, cam_params, bf=bf,
+    )
+    res = viba.vi_bundle_adjust(prob, n_iters=n_iters, row_n=m.N)
+    m = local_mapping.apply_vi_ba(m, window_ids, res, calib)
+    m = map_updates.cull_points(m, kf_id + 1)
+    if do_stats:
+        m = map_updates.refresh_point_stats(m, n_levels=n_levels)
+    if do_cull:
+        m, _ = map_updates.cull_keyframes(m, kf_id + 1, n_levels=n_levels)
+    packed = jnp.concatenate(
+        [n_new.astype(jnp.float32)[None], _pack_kf_state(m, kf_id)]
+    )
+    return m, packed
+
+
+@jax.jit
+def _pack_kf_state(m, kf):
+    """[21] f32: (v, bg, ba, R(9), t) of keyframe ``kf`` in one fetch."""
+    return jnp.concatenate([
+        m.kf_v[kf], m.kf_bg[kf], m.kf_ba[kf],
+        m.kf_R[kf].reshape(9), m.kf_t[kf],
+    ])
 
 
 @jax.jit
@@ -182,6 +251,17 @@ class InertialSlam(MonoSlam):
             if len(self._imu_history) > 200:
                 self._imu_history.pop(0)
         self._frame_imu = (acc, gyro, dts)
+        if (
+            self.imu_initialized
+            and self.vi_tracking
+            and acc is not None and len(acc)
+            and self.state in (OK, RECENTLY_LOST)
+        ):
+            self._drain_chunk()
+            self._check_ts_jump(ts)
+            if self.state in (OK, RECENTLY_LOST):
+                return self._process_frame_vi(img, ts)
+        self._drain_vi_pending()
         return super().process_frame(img, ts)
 
     def _collect_block(self, t0: float, t1: float):
@@ -251,6 +331,123 @@ class InertialSlam(MonoSlam):
             jnp.asarray(self.bg_cur), jnp.asarray(self.ba_cur),
         )
 
+    # ------------------------------------------------------------------
+    # Fused per-frame VI program: preintegration -> IMU state prediction
+    # -> extraction -> visual tracking -> 15-dof VI refinement in ONE
+    # jitted dispatch, returning ONE packed [13] f32 fetch (n_inliers,
+    # R_cw, t_cw) — over the TPU tunnel each separate dispatch/fetch
+    # leaf costs a ~20-55 ms round trip, and the unfused path made ~10
+    # of them per frame (~3 fps at 752x480 regardless of kernel speed).
+    def _vi_fused_program(self):
+        prog = getattr(self, "_vi_fused", None)
+        if prog is not None:
+            return prog
+        from ..ops import orb as orb_mod
+
+        def _prog(img, m, anchor, prior_H, prior_state, a, g, d, schedule):
+            R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
+            b = jnp.concatenate([bg_anc, ba_anc])
+            pre = imu_ops.preintegrate(a, g, d, b, self.calib)
+            # PredictStateIMU from the previous frame's body state.
+            R2, p2, v2 = imu_ops.predict_state(R_anc, p_anc, v_anc, b, pre)
+            R_pred, t_pred = viba.cam_from_body(
+                R2, p2, self.calib.R_bc, self.calib.t_bc
+            )
+            feats = orb_mod.extract(img.astype(jnp.float32), self.config)
+            res = tracking.track_against_map(
+                m, feats, R_pred, t_pred, self.cam_params,
+                self.width, self.height, schedule=schedule,
+                track_cap=self.track_cap, cam_model=self.cam_model,
+            )
+            vires, R_cw, t_cw = _vi_refine(
+                m, feats, res.feat_pt, res.R, res.t,
+                v_anc, bg_anc, ba_anc,
+                R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
+                prior_H, prior_state, self.cam_params,
+                self.calib.R_bc, self.calib.t_bc,
+            )
+            packed = jnp.concatenate([
+                vires.n_inliers[None].astype(jnp.float32),
+                R_cw.reshape(9), t_cw,
+            ])
+            return feats, res, vires, R_cw, t_cw, packed
+
+        prog = jax.jit(_prog, static_argnames=("schedule",))
+        self._vi_fused = prog
+        return prog
+
+    def _drain_vi_pending(self):
+        """Absorb the previous frame's (IO-thread-prefetched) VI result:
+        state ladder, pose log, keyframe decision — the lag-1 drain of
+        the pipelined VI loop."""
+        p = getattr(self, "_vi_pending", None)
+        if p is None:
+            return None
+        self._vi_pending = None
+        buf = np.asarray(p["fut"].result())
+        n_vis = int(buf[0])
+        R_new = buf[1:10].reshape(3, 3)
+        t_new = buf[10:13]
+        saved = self.frame_id
+        self.frame_id = p["idx"]
+        try:
+            out = self._vi_post(
+                p["feats"], p["res"], p["vires"], p["ts"], n_vis,
+                R_new, t_new, p["state_tuple"],
+            )
+        finally:
+            self.frame_id = max(saved, self.frame_id)
+        return out
+
+    def _process_frame_vi(self, img, ts):
+        """OK/RECENTLY_LOST frame through the fused VI program — ONE
+        dispatch; the packed result is fetched on the IO thread and
+        drained one frame later (lag-1, like the mono pipelined mode:
+        the tunnel fetch hides behind the next frame's compute)."""
+        # Drain the previous frame first: its keyframe insertion /
+        # state transitions must land before this frame's result is
+        # interpreted (the dispatch below already ran against the
+        # pre-keyframe map — one keyframe of staleness, the same bound
+        # the reference's tracking thread tolerates).
+        out = self._drain_vi_pending()
+        if self.state not in (OK, RECENTLY_LOST):
+            # The drained frame dropped tracking: route this frame
+            # through the recovery paths.
+            return super().process_frame(img, ts)
+        acc, gyro, dts = self._frame_imu
+        M = self.imu_cap_frame
+        a = np.zeros((M, 3), np.float32)
+        g = np.zeros((M, 3), np.float32)
+        d = np.zeros((M,), np.float32)
+        nn = min(len(acc), M)
+        a[:nn], g[:nn], d[:nn] = acc[:nn], gyro[:nn], dts[:nn]
+        anchor = self._vi_anchor or self._body_state_from_host()
+        if self._vi_prior is not None:
+            prior_H, prior_state = self._vi_prior
+        else:
+            z3 = jnp.zeros(3)
+            prior_H = jnp.zeros((15, 15))
+            prior_state = (jnp.eye(3), z3, z3, z3, z3)
+        feats, res, vires, R_cw, t_cw, packed = self._vi_fused_program()(
+            jnp.asarray(img, jnp.float32), self._tmap(), anchor,
+            prior_H, prior_state,
+            jnp.asarray(a), jnp.asarray(g), jnp.asarray(d),
+            schedule=self._current_schedule(),
+        )
+        state_tuple = (vires.R_wb, vires.p_wb, vires.v_w, vires.bg, vires.ba)
+        self._vi_pending = dict(
+            feats=feats, res=res, vires=vires, ts=ts, idx=self.frame_id,
+            state_tuple=state_tuple,
+            fut=self._io.submit(jax.device_get, packed),
+        )
+        self.frame_id += 1
+        return out
+
+    def flush(self):
+        out = self._drain_vi_pending()
+        out2 = super().flush()
+        return out2 if out2 is not None else out
+
     def _track_post(self, feats, res, ts):
         """Per-frame VI pose refinement + the RECENTLY_LOST ladder.
 
@@ -295,6 +492,13 @@ class InertialSlam(MonoSlam):
         )
         n_vis = int(n_vis)
         state_tuple = (vires.R_wb, vires.p_wb, vires.v_w, vires.bg, vires.ba)
+        return self._vi_post(
+            feats, res, vires, ts, n_vis, np.asarray(R_new),
+            np.asarray(t_new), state_tuple
+        )
+
+    def _vi_post(self, feats, res, vires, ts, n_vis, R_new, t_new,
+                 state_tuple):
         if n_vis < 15:
             if self.state == OK or self._lost_since_ts is None:
                 self._lost_since_ts = ts
@@ -355,15 +559,17 @@ class InertialSlam(MonoSlam):
         self.kf_imu_acc[kf_id], self.kf_imu_gyro[kf_id], self.kf_imu_dts[kf_id] = a, g, d
         self._last_kf_ts = ts
 
-        super()._insert_keyframe(feats, ts, track_res)
-
-        # Record current velocity/bias on the new KF slot.
-        m = self.map
-        self.map = m._replace(
-            kf_v=m.kf_v.at[kf_id].set(jnp.asarray(self.v_cur)),
-            kf_bg=m.kf_bg.at[kf_id].set(jnp.asarray(self.bg_cur)),
-            kf_ba=m.kf_ba.at[kf_id].set(jnp.asarray(self.ba_cur)),
-        )
+        if self.imu_initialized and kf_id >= 2:
+            self._insert_keyframe_vi_fused(feats, ts, track_res, kf_id)
+        else:
+            super()._insert_keyframe(feats, ts, track_res)
+            # Record current velocity/bias on the new KF slot.
+            m = self.map
+            self.map = m._replace(
+                kf_v=m.kf_v.at[kf_id].set(jnp.asarray(self.v_cur)),
+                kf_bg=m.kf_bg.at[kf_id].set(jnp.asarray(self.bg_cur)),
+                kf_ba=m.kf_ba.at[kf_id].set(jnp.asarray(self.ba_cur)),
+            )
         if not self.imu_initialized and self.n_kf >= self.init_after_kf:
             self._initialize_imu()
             self.imu_stage = 1
@@ -385,6 +591,95 @@ class InertialSlam(MonoSlam):
             self._run_vi_ba_gs(n_iters=40, bias_prior_g=0.0,
                                bias_prior_a=0.0)
             self.imu_stage = 3
+
+    def _insert_keyframe_vi_fused(self, feats, ts, track_res, kf_id):
+        """Whole VI keyframe iteration in one dispatch + one packed
+        fetch (see _vi_kf_work)."""
+        self._apply_kf_async(force=True)
+        self.abort_gba()
+        if self.on_frame is not None:
+            self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))
+        feats_d, feat_pt = self._to_map_dev((feats, track_res.feat_pt))
+        # Temporal VI-BA window over the last W keyframes INCLUDING the
+        # new one (LocalInertialBA's mPrevKF chain, Optimizer.cc:2532).
+        last = kf_id + 1
+        lo = max(0, last - self.W)
+        ids = list(range(lo, last))
+        if last <= self.W:
+            # Window covers the whole map: full VI-BA, only KF0 fixed
+            # (matches _run_vi_ba's young-map branch — fixing more this
+            # early measurably slows scale convergence).
+            fixed = [i == 0 for i in ids]
+        else:
+            fixed = [i == 0 or i < last - self.ba_window for i in ids]
+        W_eff = self.W
+        pad = W_eff - len(ids)
+        edge_ok = [
+            ids[i + 1] not in self.chain_breaks for i in range(len(ids) - 1)
+        ]
+        if pad > 0:
+            ids = ids + [self.K_cap - 1] * pad
+            fixed = fixed + [True] * pad
+            edge_ok = edge_ok + [False] * pad
+        ids = ids[:W_eff]
+        fixed = fixed[:W_eff]
+        edge_ok = edge_ok[: W_eff - 1]
+        blk_ids = [ids[i + 1] for i in range(len(ids) - 1)]
+        big = np.concatenate(
+            [
+                self.kf_imu_acc[blk_ids], self.kf_imu_gyro[blk_ids],
+                self.kf_imu_dts[blk_ids][..., None],
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        small = np.concatenate([
+            np.asarray(ids, np.float32), np.asarray(fixed, np.float32),
+            np.asarray(edge_ok, np.float32),
+        ])
+        do_fuse = (
+            self.fuse_neighbors > 0 and kf_id >= 2
+            and kf_id % self.fuse_every == 0
+        )
+        do_stats = kf_id % self.stats_every == 0
+        do_cull = (
+            self.kf_culling and kf_id >= 4 and kf_id % self.cull_every == 0
+        )
+        self.map, packed = _vi_kf_work(
+            self.map, jnp.asarray(kf_id, jnp.int32),
+            jnp.asarray(self.R_cur), jnp.asarray(self.t_cur),
+            jnp.asarray(ts, jnp.float32), feats_d, feat_pt,
+            jnp.asarray(self.n_pts, jnp.int32),
+            jnp.asarray(self.P_cap - self.n_pts, jnp.int32),
+            jnp.asarray(self.v_cur), jnp.asarray(self.bg_cur),
+            jnp.asarray(self.ba_cur),
+            jnp.asarray(big), jnp.asarray(small),
+            self.calib, self.cam_params,
+            jnp.asarray(self.bf, jnp.float32),
+            self.width, self.height, self.fuse_neighbors,
+            do_fuse, do_stats, do_cull,
+            self.local_ba_iters, self.config.n_levels, self.cam_model,
+        )
+        self.n_kf += 1
+        self.last_kf_frame = self.frame_id
+        buf = np.asarray(jax.device_get(packed))
+        self.n_pts += int(buf[0])
+        self.v_cur = buf[1:4].copy()
+        self.bg_cur = buf[4:7].copy()
+        self.ba_cur = buf[7:10].copy()
+        R_ref = buf[10:19].reshape(3, 3)
+        t_ref = buf[19:22]
+        self.R_cur = R_ref.copy()
+        self.t_cur = t_ref.copy()
+        self._set_ref_cache(kf_id, R_ref, t_ref)
+        # BA moved keyframe poses: the per-frame anchor/prior are stale.
+        self._vi_anchor = None
+        self._vi_prior = None
+        if self._check_bad_imu():
+            return
+        if self.loop_closer is not None:
+            self.key, sub = jax.random.split(self.key)
+            self.loop_closer.try_close(self, kf_id, sub)
+        self._start_replica_copy()
 
     # ------------------------------------------------------------------
     def _compact_hook(self, order, new_of_old, n_valid):
@@ -584,14 +879,12 @@ class InertialSlam(MonoSlam):
         """Refresh host-side bias/velocity/ref-pose from the newest KF —
         one tunnel fetch."""
         kf_last = self.n_kf - 1
-        v, bg, ba, R_ref, t_ref = jax.device_get(
-            (self.map.kf_v[kf_last], self.map.kf_bg[kf_last],
-             self.map.kf_ba[kf_last], self.map.kf_R[kf_last],
-             self.map.kf_t[kf_last])
-        )
-        self.v_cur = np.asarray(v)
-        self.bg_cur = np.asarray(bg)
-        self.ba_cur = np.asarray(ba)
+        buf = np.asarray(jax.device_get(_pack_kf_state(self.map, kf_last)))
+        self.v_cur = buf[0:3].copy()
+        self.bg_cur = buf[3:6].copy()
+        self.ba_cur = buf[6:9].copy()
+        R_ref = buf[9:18].reshape(3, 3)
+        t_ref = buf[18:21]
         self.R_cur = np.asarray(R_ref)
         self.t_cur = np.asarray(t_ref)
         self._set_ref_cache(kf_last, R_ref, t_ref)
@@ -627,34 +920,50 @@ class InertialSlam(MonoSlam):
         ids = ids[:W_eff]
         fixed = fixed[:W_eff]
         edge_ok = edge_ok[: W_eff - 1]
-        window_ids = jnp.asarray(np.asarray(ids, np.int32))
         # IMU block k integrates KF k-1 -> k, so edge (ids[i] -> ids[i+1])
         # uses block ids[i+1] (padded edges are masked by edge_ok).
         blk_ids = [ids[i + 1] for i in range(len(ids) - 1)]
-        acc_w = jnp.asarray(self.kf_imu_acc[blk_ids])
-        gyro_w = jnp.asarray(self.kf_imu_gyro[blk_ids])
-        dts_w = jnp.asarray(self.kf_imu_dts[blk_ids])
+        # TWO packed uploads (big IMU blocks; small window masks) instead
+        # of six — per-leaf transfer round trips over the TPU tunnel.
+        big = np.concatenate(
+            [
+                self.kf_imu_acc[blk_ids], self.kf_imu_gyro[blk_ids],
+                self.kf_imu_dts[blk_ids][..., None],
+            ],
+            axis=-1,
+        ).astype(np.float32)  # [W-1, S, 7]
+        W_eff_ = len(ids)
+        small = np.concatenate([
+            np.asarray(ids, np.float32),
+            np.asarray(fixed, np.float32),
+            np.asarray(edge_ok, np.float32),
+        ])  # [W + W + W-1]
+        big_d = jnp.asarray(big)
+        small_d = jnp.asarray(small)
+        window_ids = small_d[:W_eff_].astype(jnp.int32)
+        fixed_d = small_d[W_eff_ : 2 * W_eff_] > 0.5
+        edge_ok_d = small_d[2 * W_eff_ :] > 0.5
         prob = local_mapping.build_vi_ba(
-            self.map, window_ids, jnp.asarray(np.asarray(fixed, bool)),
-            acc_w, gyro_w, dts_w, jnp.asarray(np.asarray(edge_ok, bool)),
-            self.calib, self.cam_params, bf=self.bf,
+            self.map, window_ids, fixed_d,
+            big_d[..., 0:3], big_d[..., 3:6], big_d[..., 6],
+            edge_ok_d, self.calib, self.cam_params, bf=self.bf,
         )
         res = viba.vi_bundle_adjust(
             prob, n_iters=n_iters,
             bias_prior_g=bias_prior_g, bias_prior_a=bias_prior_a,
+            row_n=self.N,
         )
         self.map = local_mapping.apply_vi_ba(self.map, window_ids, res, self.calib)
-        # sync host bias/velocity (and the ref-pose cache) with the newest
-        # KF estimates — ONE tunnel fetch.
+        # sync host bias/velocity (and the ref-pose cache) with the
+        # newest KF estimates — ONE PACKED tunnel fetch (a device_get
+        # round-trips per pytree leaf over the tunnel).
         kf_last = self.n_kf - 1
-        v, bg, ba, R_ref, t_ref = jax.device_get(
-            (self.map.kf_v[kf_last], self.map.kf_bg[kf_last],
-             self.map.kf_ba[kf_last], self.map.kf_R[kf_last],
-             self.map.kf_t[kf_last])
-        )
-        self.v_cur = np.asarray(v)
-        self.bg_cur = np.asarray(bg)
-        self.ba_cur = np.asarray(ba)
+        buf = np.asarray(jax.device_get(_pack_kf_state(self.map, kf_last)))
+        self.v_cur = buf[0:3].copy()
+        self.bg_cur = buf[3:6].copy()
+        self.ba_cur = buf[6:9].copy()
+        R_ref = buf[9:18].reshape(3, 3)
+        t_ref = buf[18:21]
         self._set_ref_cache(kf_last, R_ref, t_ref)
         if self._check_bad_imu():
             return

@@ -391,6 +391,37 @@ def _fuse_duplicates(m: ms.MapState, pt1, pt2, pair_ok):
     return m._replace(kf_obs=new_obs, pt_valid=m.pt_valid & ~killed)
 
 
+@partial(jax.jit, static_argnames=("use_covisibility",))
+def _detect_candidates_fused(
+    m: ms.MapState,
+    new_kf: jnp.ndarray,
+    n_kf: jnp.ndarray,
+    vocab,
+    min_gap: jnp.ndarray,
+    min_score: jnp.ndarray,
+    use_covisibility: bool = True,
+):
+    """Fused loop-candidate detection: KF signatures, covisibility,
+    grouped accumulation (DetectNBestCandidates) AND the plain
+    individual ranking in one program; returns their concatenated id
+    lists [2*n_best]. The plain ranking covers self-similar scenes where
+    group accumulation crowds out the true revisit."""
+    sigs = retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid, vocab)
+    q = sigs[new_kf]
+    ids = jnp.arange(m.K)
+    exclude = (ids > new_kf - min_gap) | (ids >= n_kf)
+    cov = ms.covisibility(m)
+    if use_covisibility:
+        exclude = exclude | (cov[new_kf] > 10)
+    cand_g, _ = retrieval.detect_candidates_grouped(
+        q, sigs, cov, m.kf_valid, exclude, min_common_score=min_score
+    )
+    cand_f, _ = retrieval.detect_candidates(
+        q, sigs, m.kf_valid, exclude, min_common_score=min_score
+    )
+    return jnp.concatenate([cand_g, cand_f])
+
+
 class LoopCloser:
     """Host-side loop detection/correction orchestrator."""
 
@@ -604,30 +635,19 @@ class LoopCloser:
                 return fired
         if new_kf - self.last_closed_kf < self.min_gap:
             return False
-        sigs = retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid, self.vocab)
-        q = sigs[new_kf]
-        # Exclude temporally adjacent + covisible keyframes.
-        ids = np.arange(m.K)
-        exclude = jnp.asarray(
-            (ids > new_kf - self.min_gap) | (ids >= slam.n_kf)
-        )
-        cov = ms.covisibility(m)
-        if self.use_covisibility:
-            exclude = exclude | (cov[new_kf] > 10)
-        cand_g, _ = retrieval.detect_candidates_grouped(
-            q, sigs, cov, m.kf_valid, exclude, min_common_score=self.min_score
-        )
-        # Also keep the plain individual-score ranking: on self-similar
-        # scenes the group accumulation can crowd out the true revisit
-        # (every signature scores high against everything, so big groups
-        # dominate); the union covers both regimes.
-        cand_f, _ = retrieval.detect_candidates(
-            q, sigs, m.kf_valid, exclude, min_common_score=self.min_score
-        )
-        cand_ids = np.concatenate([
-            np.asarray(jax.device_get(cand_g)),
-            np.asarray(jax.device_get(cand_f)),
-        ])
+        # ONE fused dispatch + ONE fetch for the whole candidate
+        # detection (signatures + covisibility + grouped AND plain
+        # ranking) — over the TPU tunnel each separate dispatch/fetch
+        # costs a ~20-55 ms round trip, which at keyframe cadence was the
+        # single largest throughput cost of an attached LoopCloser.
+        cand_ids = np.asarray(jax.device_get(_detect_candidates_fused(
+            m, jnp.asarray(new_kf, jnp.int32),
+            jnp.asarray(slam.n_kf, jnp.int32),
+            self.vocab,
+            jnp.asarray(self.min_gap, jnp.int32),
+            jnp.asarray(self.min_score, jnp.float32),
+            use_covisibility=self.use_covisibility,
+        )))
         tried = set()
         for c in cand_ids:
             if c < 0 or int(c) in tried:

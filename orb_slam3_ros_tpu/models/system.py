@@ -1096,7 +1096,21 @@ class MonoSlam:
             init_cam, sub,
         )
         if not bool(res.ok) or int(res.n_good) < 50:
+            # Degenerate-pair guard: a reference frame staring at a
+            # planar/low-parallax view can keep >=60 matches against
+            # every later frame while H/F reconstruction keeps failing —
+            # the initializer would stay stuck on it forever. After 3
+            # consecutive reconstruction failures the CURRENT frame
+            # becomes the new reference (the reference implementation
+            # only rotates on low match count, Tracking.cc:2512, and can
+            # stall the same way on such views).
+            self._init_fail_count = getattr(self, "_init_fail_count", 0) + 1
+            if self._init_fail_count >= 3:
+                self.init_feats = feats
+                self.init_ts = ts
+                self._init_fail_count = 0
             return None
+        self._init_fail_count = 0
         self._create_initial_map(feats, ts, idx, res)
         self.state = OK
         self._warm_schedules()
@@ -1445,13 +1459,15 @@ class MonoSlam:
             self._set_ref_cache(kf_id, self.R_cur, self.t_cur)
             self._start_replica_copy()
             return
-        # One sync: admitted count + BA-refined pose.
-        n_new, R_cur, t_cur = jax.device_get(
-            (n_new, self.map.kf_R[kf_id], self.map.kf_t[kf_id])
-        )
-        self.n_pts += int(n_new)
-        self.R_cur = np.asarray(R_cur)
-        self.t_cur = np.asarray(t_cur)
+        # One sync: admitted count + BA-refined pose, PACKED into a
+        # single fetch (per-leaf round trips over the tunnel).
+        buf = np.asarray(jax.device_get(jnp.concatenate([
+            jnp.asarray(n_new, jnp.float32)[None],
+            self.map.kf_R[kf_id].reshape(9), self.map.kf_t[kf_id],
+        ])))
+        self.n_pts += int(buf[0])
+        self.R_cur = buf[1:10].reshape(3, 3).copy()
+        self.t_cur = buf[10:13].copy()
         if self.loop_closer is not None:
             self.key, sub = jax.random.split(self.key)
             self.loop_closer.try_close(self, kf_id, sub)

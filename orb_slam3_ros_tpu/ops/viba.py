@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import cameras, imu, lie, robust
+from .ba import inv3x3
 
 
 class VIStates(NamedTuple):
@@ -128,7 +129,7 @@ class VIBAResult(NamedTuple):
     inlier: jnp.ndarray  # [E]
 
 
-@partial(jax.jit, static_argnames=("n_iters", "use_robust"))
+@partial(jax.jit, static_argnames=("n_iters", "use_robust", "row_n"))
 def vi_bundle_adjust(
     prob: VIBAProblem,
     n_iters: int = 8,
@@ -137,12 +138,20 @@ def vi_bundle_adjust(
     bias_prior_g: float = 0.0,
     bias_prior_a: float = 0.0,
     lam0: float = 1e-3,
+    row_n: int | None = None,
 ) -> VIBAResult:
     """Joint visual-inertial LM with Schur-eliminated landmarks.
 
     ``bias_prior_*``: zero-mean bias priors (the reference's
     priorG/priorA schedule during IMU init, LocalMapping.cc:184-227 /
     Optimizer.cc:392 FullInertialBA with EdgePriorGyro/Acc).
+
+    ``row_n``: set when the edge table is row-structured (one row of
+    row_n feature slots per window keyframe, rows injective in the
+    landmark — build_vi_ba's layout): the visual block accumulations
+    become row reductions + per-(camera, landmark) gathers instead of
+    scatter-adds, which XLA serializes on TPU (the same lesson as
+    ba.bundle_adjust's row_n path; measured ~0.6 s/solve at E=12k).
     """
     st0 = prob.states
     K = st0.R_wb.shape[0]
@@ -202,6 +211,27 @@ def vi_bundle_adjust(
             lambda e: _inertial_residual24(e, Ri, pi, vi, bgi, bai, Rj, pj, vj, pre)
         )(jnp.zeros(24, dtype))
     )
+
+    E = prob.cam_idx.shape[0]
+    assert row_n is None or E == K * row_n, (
+        "row_n layout requires one row of row_n edges per camera"
+    )
+    if row_n is not None:
+        # inv_feat[k, p] = feature slot of landmark p in camera k's row
+        # (row_n when unobserved), via fused compare-reduce.
+        pt_rows = prob.pt_idx.reshape(K, row_n)
+        ev = prob.edge_valid.reshape(K, row_n)
+        eqp = (
+            pt_rows[:, :, None] == jnp.arange(P, dtype=prob.pt_idx.dtype)
+        ) & ev[:, :, None]
+        inv_feat = jnp.min(
+            jnp.where(
+                eqp, jnp.arange(row_n, dtype=jnp.int32)[None, :, None], row_n
+            ),
+            axis=1,
+        )  # [K, P]
+        obs_kp = (inv_feat < row_n)[..., None]
+        fe = jnp.clip(inv_feat, 0, row_n - 1)
 
     def gather_visual(st: VIStates, X):
         R = st.R_wb[prob.cam_idx]
@@ -279,22 +309,43 @@ def vi_bundle_adjust(
         w_rob = robust.huber_weight(chi2, delta2) if use_robust else jnp.ones_like(chi2)
         w = prob.inv_sigma2 * w_rob * prob.edge_valid.astype(dtype)
         JcW = Jc6 * w[:, None, None]
-        H = H.at[prob.cam_idx, prob.cam_idx, :6, :6].add(
-            jnp.einsum("eia,eib->eab", JcW, Jc6)
-        )
-        g = g.at[prob.cam_idx, :6].add(-jnp.einsum("eia,ei->ea", JcW, r))
-        Hpp = jnp.zeros((P, 3, 3), dtype).at[prob.pt_idx].add(
-            jnp.einsum("eia,eib->eab", Jp * w[:, None, None], Jp)
-        )
-        gp = jnp.zeros((P, 3), dtype).at[prob.pt_idx].add(
-            -jnp.einsum("eia,ei->ea", Jp * w[:, None, None], r)
-        )
-        Wcp = (
-            jnp.zeros((K * P, 6, 3), dtype)
-            .at[prob.cam_idx * P + prob.pt_idx]
-            .add(jnp.einsum("eia,eib->eab", JcW, Jp))
-            .reshape(K, P, 6, 3)
-        )
+        JpW = Jp * w[:, None, None]
+        if row_n is not None:
+            # Scatter-free row-structured accumulation (see docstring).
+            rw = r.reshape(K, row_n, 3)
+            Jcw = Jc6.reshape(K, row_n, 3, 6)
+            Jpw = Jp.reshape(K, row_n, 3, 3)
+            JcWw = JcW.reshape(K, row_n, 3, 6)
+            JpWw = JpW.reshape(K, row_n, 3, 3)
+            Hcc6 = jnp.einsum("wnia,wnib->wab", JcWw, Jcw)
+            H = H.at[jnp.arange(K), jnp.arange(K), :6, :6].add(Hcc6)
+            g = g.at[:, :6].add(-jnp.einsum("wnia,wni->wa", JcWw, rw))
+            HppE = jnp.einsum("wnia,wnib->wnab", JpWw, Jpw).reshape(K, row_n, 9)
+            gpE = -jnp.einsum("wnia,wni->wna", JpWw, rw)
+            WcpE = jnp.einsum("wnia,wnib->wnab", JcWw, Jpw).reshape(K, row_n, 18)
+            ga = lambda a: jnp.take_along_axis(  # noqa: E731
+                a, fe[:, :, None], axis=1
+            )
+            Hpp = jnp.sum(ga(HppE) * obs_kp, axis=0).reshape(P, 3, 3)
+            gp = jnp.sum(ga(gpE) * obs_kp, axis=0)
+            Wcp = (ga(WcpE) * obs_kp).reshape(K, P, 6, 3)
+        else:
+            H = H.at[prob.cam_idx, prob.cam_idx, :6, :6].add(
+                jnp.einsum("eia,eib->eab", JcW, Jc6)
+            )
+            g = g.at[prob.cam_idx, :6].add(-jnp.einsum("eia,ei->ea", JcW, r))
+            Hpp = jnp.zeros((P, 3, 3), dtype).at[prob.pt_idx].add(
+                jnp.einsum("eia,eib->eab", JpW, Jp)
+            )
+            gp = jnp.zeros((P, 3), dtype).at[prob.pt_idx].add(
+                -jnp.einsum("eia,ei->ea", JpW, r)
+            )
+            Wcp = (
+                jnp.zeros((K * P, 6, 3), dtype)
+                .at[prob.cam_idx * P + prob.pt_idx]
+                .add(jnp.einsum("eia,eib->eab", JcW, Jp))
+                .reshape(K, P, 6, 3)
+            )
 
         # ---- inertial edges ----
         ri = ires_fn(
@@ -364,7 +415,9 @@ def vi_bundle_adjust(
         Hpp_d = Hpp + (
             lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-6
         )[..., :, None] * jnp.eye(3, dtype=dtype)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        # Closed-form 3x3 inverse: batched LU serializes on TPU
+        # (same lesson as ba.py inv3x3; measured ~0.5 s at P=4096).
+        Hpp_inv = inv3x3(Hpp_d)
         Y = jnp.einsum("kpab,pbc->kpac", Wcp, Hpp_inv)  # [K,P,6,3]
         S_vis = -jnp.einsum("kpac,lpbc->klab", Y, Wcp)  # [K,K,6,6]
         H = H.at[:, :, :6, :6].add(S_vis)
@@ -375,8 +428,12 @@ def vi_bundle_adjust(
             jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(1.0 - free_d)
         )
         rhs = rhs * free_d
-        delta = jnp.linalg.solve(
-            Hm.transpose(0, 2, 1, 3).reshape(K * D, K * D), rhs.reshape(K * D)
+        # Damped+masked Hm is SPD: Cholesky instead of LU (LU's row
+        # pivoting serializes on TPU; ~10x at this size).
+        Hm_flat = Hm.transpose(0, 2, 1, 3).reshape(K * D, K * D)
+        delta = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Hm_flat, lower=True),
+            rhs.reshape(K * D),
         ).reshape(K, D)
         delta = delta * free_d
 
@@ -676,7 +733,9 @@ def vi_bundle_adjust_gs(
         Hpp_d = Hpp + (
             lam * jnp.diagonal(Hpp, axis1=-2, axis2=-1) + 1e-6
         )[..., :, None] * jnp.eye(3, dtype=dtype)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        # Closed-form 3x3 inverse: batched LU serializes on TPU
+        # (same lesson as ba.py inv3x3; measured ~0.5 s at P=4096).
+        Hpp_inv = inv3x3(Hpp_d)
         Y = jnp.einsum("kpab,pbc->kpac", Wcp, Hpp_inv)
         S_vis = -jnp.einsum("kpac,lpbc->klab", Y, Wcp)
         H = H.at[:, :, :6, :6].add(S_vis)
@@ -696,7 +755,9 @@ def vi_bundle_adjust_gs(
         Hm = Hfull * free_full[:, None] * free_full[None, :]
         Hm = Hm + jnp.diag(1.0 - free_full)
         rhs_full = rhs_full * free_full
-        delta_full = jnp.linalg.solve(Hm, rhs_full) * free_full
+        delta_full = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Hm, lower=True), rhs_full
+        ) * free_full
         delta = delta_full[:KD].reshape(K, D)
         dgs = delta_full[KD:]
 
@@ -875,7 +936,9 @@ def inertial_init(
         H = H + jnp.diag(pr)
         g = g - pr * x
         Hd = H + (lam * jnp.diag(H).clip(1e-8) + 1e-8) * jnp.eye(nS, dtype=dtype)
-        dx = jnp.linalg.solve(Hd, g)
+        dx = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Hd, lower=True), g
+        )
         x_new = x + dx
         cost_new = cost_of(x_new, Rwg0, s0)
         better = cost_new < cost

@@ -224,6 +224,9 @@ def load_atlas(path: str, slam, verify: bool = True) -> None:
         lc._edge_R = data["loop.edge_R"].copy()
         lc._edge_t = data["loop.edge_t"].copy()
         lc._edge_s = data["loop.edge_s"].copy()
+        # The edge store is growable (doubles when full): adopt the
+        # checkpoint's capacity so _record_loop_edge stays consistent.
+        lc.max_loop_edges = int(lc._edge_i.shape[0])
         lc._n_edges = manifest["loop"]["n_edges"]
         lc.last_closed_kf = manifest["loop"]["last_closed_kf"]
 

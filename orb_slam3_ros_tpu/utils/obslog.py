@@ -53,9 +53,15 @@ class FrameStreamer:
     a context manager) when done.
 
     Events:
-      frame:    ts, Twc (4x4 row-major), n_inliers, state, n_kf
-      keyframe: ts, kf_id
-      loop:     new_kf, cand_kf
+      frame:          ts, Twc (4x4 row-major), n_inliers, state, n_kf
+      keyframe:       ts, kf_id
+      loop:           new_kf, cand_kf
+      tracked_points: ts, n, points (flattened [n,3] world xyz) — the
+                      tracked-point-cloud publisher role
+      map_points:     ts, n, points — the all-map-points publisher role
+      kf_markers:     ts, n, centers (flattened [n,3] camera centers)
+    (point-cloud events fire at the pipeline's ``points_every`` cadence;
+    src/common.cc:273-369 is the reference surface.)
     """
 
     def __init__(self, path: str, flush_every: int = 25):

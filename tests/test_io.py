@@ -254,3 +254,32 @@ class TestAtlasCheckpoint:
                       max_keyframes=8, max_points=256, enable_atlas=True)
         with pytest.raises(ValueError, match="checksum"):
             checkpoint.load_atlas(path, s2)
+
+
+class TestPointCloudEvents:
+    def test_points_every_emits_cloud_and_markers(self):
+        """The points_every cadence must emit tracked_points/map_points/
+        kf_markers events through on_frame (the headless shape of the
+        reference's point-cloud + marker publishers, src/common.cc:
+        273-369)."""
+        from orb_slam3_ros_tpu.models.system import MonoSlam, OK
+        from orb_slam3_ros_tpu.utils import synth
+
+        seq = synth.make_sequence(n_frames=20, height=240, width=376,
+                                  dt=0.1, seed=3)
+        events = []
+        slam = MonoSlam(height=240, width=376, cam_params=seq.cam_params,
+                        n_features=1200, max_keyframes=16, max_points=2048,
+                        points_every=4)
+        slam.on_frame = events.append
+        for i in range(20):
+            slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+        slam.flush()
+        assert slam.state == OK
+        kinds = {e["event"] for e in events}
+        assert {"frame", "map_points", "kf_markers",
+                "tracked_points"} <= kinds, kinds
+        mp = [e for e in events if e["event"] == "map_points"][-1]
+        assert mp["n"] > 50 and mp["points"].shape == (mp["n"], 3)
+        km = [e for e in events if e["event"] == "kf_markers"][-1]
+        assert km["n"] >= 2

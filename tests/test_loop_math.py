@@ -205,3 +205,23 @@ class TestPoseGraph:
         # after correction, each point should sit 1m in front of GT cam
         X_gt = np.einsum("kji,kj->ki", R_gt, Xc - t_gt)
         np.testing.assert_allclose(np.asarray(X_new), X_gt, atol=0.15)
+
+
+class TestLoopEdgeStore:
+    def test_loop_edges_never_evicted(self):
+        """Accumulating many closures must keep EVERY constraint (the
+        reference keeps all loop/merge edges forever, KeyFrame.h:466-482;
+        round-2's fixed ring silently evicted the oldest past 16)."""
+        from orb_slam3_ros_tpu.models.loop_closing import LoopCloser
+
+        lc = LoopCloser()
+        for i in range(40):
+            lc._record_loop_edge(i, i + 100, np.eye(3), np.zeros(3), 1.0)
+        assert int((lc._edge_i >= 0).sum()) == 40
+        assert lc.max_loop_edges >= 40
+        # Slots freed by compaction are reused before growing again.
+        lc._edge_i[5] = -1
+        cap = lc.max_loop_edges
+        lc._record_loop_edge(999, 1000, np.eye(3), np.zeros(3), 1.0)
+        assert lc.max_loop_edges == cap
+        assert 999 in lc._edge_i
