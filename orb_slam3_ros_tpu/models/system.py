@@ -1558,3 +1558,23 @@ class MonoSlam:
             k: (float(np.mean(v)), float(np.std(v)), len(v))
             for k, v in self.timing.items()
         }
+
+    def print_time_stats(self, file=None):
+        """Per-stage wall-clock stats, mean +- std per stage — the
+        reference's REGISTER_TIMES taxonomy dump
+        (``Tracking::PrintTimeStats``, Tracking.cc:299; stage vectors
+        declared in Tracking.h:185-199 / LocalMapping.h:114-131 /
+        LoopClosing.h:95-123). Host timers wrap the same stage
+        boundaries; device-fused stages (extract+track, keyframe work)
+        appear as their fused program names."""
+        import sys
+
+        out = file or sys.stderr
+        print("*** orb-tpu time stats (ms, mean +- std [n]) ***", file=out)
+        for name, (mean, std, n) in sorted(
+            self.timing_summary().items(), key=lambda kv: -kv[1][0]
+        ):
+            print(
+                f"  {name:24s} {mean * 1e3:9.2f} +- {std * 1e3:7.2f}  [{n}]",
+                file=out,
+            )
