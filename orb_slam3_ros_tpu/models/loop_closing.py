@@ -391,6 +391,43 @@ def _fuse_duplicates(m: ms.MapState, pt1, pt2, pair_ok):
     return m._replace(kf_obs=new_obs, pt_valid=m.pt_valid & ~killed)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "min_inliers"))
+def _verify_pending_fused(
+    m: ms.MapState,
+    new_kf: jnp.ndarray,
+    cand: jnp.ndarray,
+    S_cw,
+    cam_params: jnp.ndarray,
+    width: int,
+    height: int,
+    min_inliers: int,
+):
+    """Fused pending-hypothesis verification: propagate the stored
+    world->candidate Sim3 through the new keyframe's pose, grow matches
+    by guided projection, IRLS-refine the Sim3
+    (DetectAndReffineSim3FromLastKF, LoopClosing.cc:1553). Returns the
+    refined result, the re-propagated S_cw, the match tables, and a
+    packed [2] (ok, n_inliers) fetch vector."""
+    one = jnp.ones((), m.kf_t.dtype)
+    R_cw, t_cw, s_cw = S_cw
+    Rji, tji, sji = lie.sim3_inv(m.kf_R[new_kf], m.kf_t[new_kf], one)
+    Rcj, tcj, scj = lie.sim3_mul(R_cw, t_cw, s_cw, Rji, tji, sji)
+    X1, X2, okg, pt1, pt2, sig1, sig2 = _grow_matches_by_sim3(
+        m, new_kf, cand, scj, Rcj, tcj, cam_params, width, height,
+    )
+    res = sim3solver.refine_sim3(
+        X1, X2, okg, cam_params, scj, Rcj, tcj,
+        min_inliers=min_inliers, sigma2_1=sig1, sigma2_2=sig2,
+    )
+    S_cw_new = lie.sim3_mul(
+        res.R, res.t, res.s, m.kf_R[new_kf], m.kf_t[new_kf], one
+    )
+    packed = jnp.stack([
+        res.ok.astype(jnp.float32), res.n_inliers.astype(jnp.float32),
+    ])
+    return res, S_cw_new, pt1, pt2, okg, packed
+
+
 @partial(jax.jit, static_argnames=("use_covisibility",))
 def _detect_candidates_fused(
     m: ms.MapState,
@@ -713,30 +750,24 @@ class LoopCloser:
         fall through to fresh detection (hypothesis discarded)."""
         m = slam.map
         p = self._pending
-        one = jnp.ones((), m.kf_t.dtype)
-        R_cw, t_cw, s_cw = p["S_cw"]
-        Rji, tji, sji = lie.sim3_inv(m.kf_R[new_kf], m.kf_t[new_kf], one)
-        Rcj, tcj, scj = lie.sim3_mul(R_cw, t_cw, s_cw, Rji, tji, sji)
-        X1, X2, okg, pt1, pt2, sig1, sig2 = _grow_matches_by_sim3(
-            m, jnp.asarray(new_kf), jnp.asarray(p["cand"]),
-            scj, Rcj, tcj, slam.cam_params, slam.width, slam.height,
+        # ONE fused dispatch + ONE packed fetch for the whole guided
+        # verification (Sim3 propagation -> grow -> refine): the unfused
+        # flow made ~6 tunnel round trips per pending keyframe.
+        res, S_cw_new, pt1, pt2, okg, packed = _verify_pending_fused(
+            m, jnp.asarray(new_kf), jnp.asarray(p["cand"]), p["S_cw"],
+            slam.cam_params, slam.width, slam.height,
+            self.min_sim3_inliers,
         )
-        res = sim3solver.refine_sim3(
-            X1, X2, okg, slam.cam_params, scj, Rcj, tcj,
-            min_inliers=self.min_sim3_inliers,
-            sigma2_1=sig1, sigma2_2=sig2,
-        )
-        if bool(jax.device_get(res.ok)):
+        buf = np.asarray(jax.device_get(packed))
+        if bool(buf[0] > 0.5):
             p["count"] += 1
             p["miss"] = 0
-            p["S_cw"] = lie.sim3_mul(
-                res.R, res.t, res.s, m.kf_R[new_kf], m.kf_t[new_kf], one
-            )
+            p["S_cw"] = S_cw_new
             if p["count"] >= self.required_consistency:
                 self._pending = None
                 return self._apply_closure(
                     slam, new_kf, p["cand"], res.R, res.t, res.s,
-                    int(jax.device_get(res.n_inliers)),
+                    int(buf[1]),
                     pt1, pt2, okg & res.inlier,
                 )
             return False
