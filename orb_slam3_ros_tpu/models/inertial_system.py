@@ -182,6 +182,12 @@ class InertialSlam(MonoSlam):
         # LocalMapping.cc:138-146 / Tracking.cc:1841-1846): a divergent
         # IMU solve resets the active map instead of corrupting it.
         self.bad_imu_resets = 0
+        # Device-resident VI chunk loop (vi_device_loop.py): inertial
+        # side-state threaded between chunks as device handles, one
+        # jitted runner per (schedule, cam_model).
+        self._vi_dev_state = None
+        self._vi_chunk_pending = None
+        self._vi_runner_cache = {}
 
     # ------------------------------------------------------------------
     def _check_bad_imu(self) -> bool:
@@ -214,6 +220,9 @@ class InertialSlam(MonoSlam):
         from . import map_state
         from .system import NOT_INITIALIZED
 
+        self._vi_dev_state = None
+        self._vi_chunk_pending = None
+
         self.kf_imu_acc[:] = 0
         self.kf_imu_gyro[:] = 0
         self.kf_imu_dts[:] = 0
@@ -243,6 +252,10 @@ class InertialSlam(MonoSlam):
     def process_frame(self, img, ts: float, acc=None, gyro=None, dts=None):
         """Track one frame with its IMU block (samples since previous
         frame; arrays [M, 3]/[M])."""
+        # Any per-frame processing mutates host-side VI state the
+        # device chunk state does not see — rebuild it at next chunk.
+        self._drain_vi_chunk()
+        self._vi_dev_state = None
         if acc is not None and len(acc):
             self._imu_history.append(
                 (ts, np.asarray(acc, np.float32), np.asarray(gyro, np.float32),
@@ -444,9 +457,275 @@ class InertialSlam(MonoSlam):
         return out
 
     def flush(self):
+        self._drain_vi_chunk()
         out = self._drain_vi_pending()
         out2 = super().flush()
         return out2 if out2 is not None else out
+
+    # ------------------------------------------------------------------
+    # Device-resident VI chunk loop (vi_device_loop.py): the inertial
+    # steady state — preintegrate/predict/extract/track/VI-refine per
+    # frame, the full VI keyframe program under lax.cond — in ONE
+    # dispatch + ONE packed fetch per chunk of frames.
+    def _vi_chunkable(self) -> bool:
+        return (
+            self.imu_initialized
+            and self.vi_tracking
+            and self.imu_stage >= 3  # all IMU-init ladder stages done
+            and self.state == OK
+            and self.loop_closer is None
+            and getattr(self, "atlas", None) is None
+            and self._gba is None
+            and self.track_dev is None
+            and self.track_window is None
+            and self.bf == 0.0  # chunk KF work builds mono VI-BA rows
+            # The in-chunk temporal window assumes it is always full.
+            and self.n_kf > self.W
+        )
+
+    def _vi_chunk_runner(self):
+        key = (self._current_schedule(), self.cam_model)
+        r = self._vi_runner_cache.get(key)
+        if r is None:
+            from .vi_device_loop import make_vi_chunk_runner
+
+            r = make_vi_chunk_runner(
+                self.config, self.cam_params, self.calib,
+                width=self.width, height=self.height,
+                kf_every=self.kf_every,
+                kf_min_inliers=self.kf_min_inliers,
+                W=self.W, ba_window=self.ba_window,
+                local_ba_iters=self.local_ba_iters,
+                fuse_neighbors=self.fuse_neighbors,
+                fuse_every=self.fuse_every, stats_every=self.stats_every,
+                cull_every=self.cull_every, kf_culling=self.kf_culling,
+                schedule=key[0], K_cap=self.K_cap,
+                imu_cap_frame=self.imu_cap_frame,
+                imu_cap_kf=self.imu_cap_kf,
+                track_cap=self.track_cap, cam_model=self.cam_model,
+                bf=float(self.bf),
+            )
+            self._vi_runner_cache[key] = r
+        return r
+
+    def _fresh_vi_dev_state(self):
+        """Build the device-side VI chunk state from host bookkeeping
+        (chunk-mode entry, or re-entry after any host-path processing).
+        The per-KF block upload (~K_cap*S*7 f32) happens only here —
+        in steady chunking the state round-trips device-to-device."""
+        from .vi_device_loop import VIDevState
+
+        anchor = self._vi_anchor or self._body_state_from_host()
+        R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
+        if self._vi_prior is not None:
+            prior_H = self._vi_prior[0]
+        else:
+            prior_H = jnp.zeros((15, 15))
+        t0 = getattr(self, "_last_kf_ts", None)
+        a, g, d = self._collect_block(-1e18 if t0 is None else t0, 1e18)
+        blk = np.concatenate([a, g, d[:, None]], axis=-1).astype(np.float32)
+        kf_blk = np.concatenate(
+            [self.kf_imu_acc, self.kf_imu_gyro, self.kf_imu_dts[..., None]],
+            axis=-1,
+        ).astype(np.float32)
+        edge_ok = np.ones(self.K_cap, bool)
+        for k in self.chain_breaks:
+            edge_ok[k] = False
+        return VIDevState(
+            R_wb=jnp.asarray(R_anc), p_wb=jnp.asarray(p_anc),
+            v=jnp.asarray(v_anc), bg=jnp.asarray(bg_anc),
+            ba=jnp.asarray(ba_anc), prior_H=jnp.asarray(prior_H),
+            blk=jnp.asarray(blk),
+            blk_n=jnp.asarray(int((d > 0).sum()), jnp.int32),
+            blk_ok=jnp.asarray(True),
+            kf_blk=jnp.asarray(kf_blk),
+            kf_edge_ok=jnp.asarray(edge_ok),
+        )
+
+    def process_frames(self, imgs, tss, acc=None, gyro=None, dts=None):
+        """Track a batch of frames with their per-frame IMU blocks
+        through the device-resident VI chunk loop (ONE dispatch + ONE
+        packed fetch; results drain on the NEXT call or flush). Falls
+        back to per-frame processing whenever the inertial fast path
+        does not apply (init ladder, loss states, loop closer/Atlas
+        attached, ts jumps)."""
+        from .system import _ChunkReplayView
+
+        if acc is None:
+            return super().process_frames(imgs, tss)
+        self._drain_vi_chunk()
+        C = len(tss)
+        fallback_imgs = (
+            _ChunkReplayView(imgs[0], int(imgs[1]))
+            if isinstance(imgs, tuple) else imgs
+        )
+        ok_chunk = isinstance(imgs, tuple) and self._vi_chunkable()
+        tss_np = np.asarray(tss, np.float64)
+        if ok_chunk:
+            last = getattr(self, "_last_frame_ts", None)
+            gaps = np.diff(np.concatenate(
+                [[last if last is not None else tss_np[0]], tss_np]
+            ))
+            if np.any(gaps > self.ts_jump_threshold):
+                ok_chunk = False
+        if ok_chunk and self.n_kf >= self.K_cap - 1 - C // 2:
+            self._make_room()
+        if not ok_chunk:
+            for i, ts in enumerate(tss):
+                self.process_frame(
+                    fallback_imgs[i], float(ts),
+                    acc=acc[i], gyro=gyro[i], dts=dts[i],
+                )
+            return
+        self._drain_vi_pending()
+        self._drain_pending()
+        self._apply_kf_async(force=True)
+        # Build the device state BEFORE recording the chunk's IMU in the
+        # host history: _collect_block gathers everything after the last
+        # keyframe, and the chunk appends its own frames' samples on
+        # device — appending first would double-count them.
+        st = self._vi_dev_state
+        if st is None:
+            st = self._fresh_vi_dev_state()
+        # Record the chunk frames' IMU in the host history so a later
+        # host-path block assembly (_collect_block) stays correct.
+        for i in range(C):
+            if acc[i] is not None and len(acc[i]):
+                self._imu_history.append((
+                    float(tss_np[i]),
+                    np.asarray(acc[i], np.float32),
+                    np.asarray(gyro[i], np.float32),
+                    np.asarray(dts[i], np.float32),
+                ))
+        while len(self._imu_history) > 200:
+            self._imu_history.pop(0)
+        stack, off = imgs
+        M = self.imu_cap_frame
+        imu_arr = np.zeros((C, M, 7), np.float32)
+        for i in range(C):
+            n = min(len(acc[i]), M)
+            imu_arr[i, :n, 0:3] = acc[i][:n]
+            imu_arr[i, :n, 3:6] = gyro[i][:n]
+            imu_arr[i, :n, 6] = dts[i][:n]
+        pk = np.concatenate([
+            np.asarray(
+                [self.n_kf, self.n_pts, self.last_kf_frame, 1.0,
+                 self.frame_id, off], np.float32,
+            ),
+            np.asarray(tss_np, np.float32),
+            imu_arr.reshape(-1),
+        ])
+        m2, st2, packed = self._vi_chunk_runner()(
+            self.map, st, stack, jnp.asarray(pk), chunk=C
+        )
+        self.map = m2
+        self._vi_dev_state = st2
+        self._last_frame_ts = float(tss_np[-1])
+        self._vi_chunk_pending = dict(
+            fut=self._io.submit(jax.device_get, packed),
+            tss=tss_np, imgs=fallback_imgs, imu=(acc, gyro, dts),
+            fid0=self.frame_id, n_kf0=self.n_kf,
+        )
+        self.frame_id += C
+
+    def _drain_vi_chunk(self):
+        """Absorb the previous VI chunk's (prefetched) packed results:
+        trajectory logs, body state, the host mirror of the chunk's new
+        keyframe IMU blocks, and the loss-ladder handoff."""
+        p = getattr(self, "_vi_chunk_pending", None)
+        if p is None:
+            return
+        self._vi_chunk_pending = None
+        from .vi_device_loop import unpack_vi_chunk_result
+
+        C = len(p["tss"])
+        kmax = C // 2
+        outs, sc, new_blk, new_ok = unpack_vi_chunk_result(
+            p["fut"].result(), C, kmax, self.imu_cap_kf
+        )
+        n_kf0 = p["n_kf0"]
+        self.n_kf = sc["n_kf"]
+        self._n_pts = sc["n_pts"]
+        self.last_kf_frame = sc["last_kf_fid"]
+        self.R_cur = np.asarray(sc["R"], np.float32)
+        self.t_cur = np.asarray(sc["t"], np.float32)
+        self.v_cur = sc["v"].astype(np.float32).copy()
+        self.bg_cur = sc["bg"].astype(np.float32).copy()
+        self.ba_cur = sc["ba"].astype(np.float32).copy()
+        self._ref_cache = None
+        # Host anchors are rebuilt from host pose on the next per-frame
+        # call; the device state (still valid) carries the exact ones.
+        self._vi_anchor = None
+        self._vi_prior = None
+        # Mirror the chunk's new per-KF IMU blocks (consecutive slots
+        # from n_kf0) into the host arrays.
+        for j in range(min(self.n_kf - n_kf0, kmax)):
+            k = n_kf0 + j
+            self.kf_imu_acc[k] = new_blk[j, :, 0:3]
+            self.kf_imu_gyro[k] = new_blk[j, :, 3:6]
+            self.kf_imu_dts[k] = new_blk[j, :, 6]
+            if not new_ok[j]:
+                self.chain_breaks.add(k)
+        # Constant-velocity model for any non-VI fallback path, from the
+        # last two tracked frames of the chunk.
+        alive_idx = np.nonzero(outs["alive"])[0]
+        if len(alive_idx) >= 2:
+            i0, i1 = alive_idx[-2], alive_idx[-1]
+            R0, t0_ = outs["R"][i0], outs["t"][i0]
+            R1, t1_ = outs["R"][i1], outs["t"][i1]
+            self.vel_R = np.asarray(R1 @ R0.T, np.float32)
+            self.vel_t = np.asarray(t1_ - (R1 @ R0.T) @ t0_, np.float32)
+        n_dead = 0
+        for i in range(C):
+            if not bool(outs["alive"][i]):
+                n_dead += 1
+                continue
+            ts = float(p["tss"][i])
+            Rcw = np.asarray(outs["R"][i])
+            tcw = np.asarray(outs["t"][i])
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = Rcw.T
+            T[:3, 3] = -Rcw.T @ tcw
+            self.trajectory.append((ts, T))
+            self.rel_traj.append(
+                (ts, int(outs["ref"][i]), np.asarray(outs["R_cr"][i]),
+                 np.asarray(outs["t_cr"][i]))
+            )
+            if bool(outs["is_kf"][i]):
+                self._last_kf_ts = ts
+            if self.on_frame is not None:
+                self.on_frame(dict(
+                    event="frame", ts=ts, Twc=T,
+                    n_inliers=int(outs["n_inliers"][i]), state=OK,
+                    n_kf=int(outs["ref"][i]) + 1,
+                ))
+                if bool(outs["is_kf"][i]):
+                    self.on_frame(dict(
+                        event="keyframe", ts=ts, kf_id=int(outs["ref"][i])
+                    ))
+        if self.on_frame is not None and C:
+            self._maybe_publish_points(float(p["tss"][-1]))
+        if self._check_bad_imu():
+            return
+        if not sc["alive"]:
+            # Visual support collapsed mid-chunk: hand off to the
+            # per-frame RECENTLY_LOST ladder (IMU dead-reckoning /
+            # relocalization live there) and replay the dead tail.
+            self._vi_dev_state = None
+            k = C - n_dead
+            self.state = RECENTLY_LOST
+            self._lost_since_ts = float(p["tss"][k]) if k < C else None
+            acc, gyro, dts = p["imu"]
+            saved = self.frame_id
+            self.frame_id = p["fid0"] + k
+            try:
+                for i in range(k, C):
+                    self.process_frame(
+                        p["imgs"][i], float(p["tss"][i]),
+                        acc=acc[i], gyro=gyro[i], dts=dts[i],
+                    )
+            finally:
+                self.frame_id = max(saved, self.frame_id)
 
     def _track_post(self, feats, res, ts):
         """Per-frame VI pose refinement + the RECENTLY_LOST ladder.
@@ -551,6 +830,7 @@ class InertialSlam(MonoSlam):
         self._last_kf_ts = ts
 
     def _insert_keyframe(self, feats, ts, track_res):
+        self._vi_dev_state = None  # host-path KF: device chunk state stale
         kf_id = self.n_kf
         prev_ts = getattr(self, "_last_kf_ts", None)
         if prev_ts is None:
@@ -689,6 +969,7 @@ class InertialSlam(MonoSlam):
         reference's Preintegrated::MergePrevious, ImuTypes.cc:237);
         overflow past the block capacity breaks the chain at that seam
         (VI-BA masks the inertial edge there)."""
+        self._vi_dev_state = None  # slot layout changed
         old_acc, old_gyro, old_dts = (
             self.kf_imu_acc, self.kf_imu_gyro, self.kf_imu_dts,
         )
@@ -848,6 +1129,7 @@ class InertialSlam(MonoSlam):
         then apply the recovered (Rwg, s) to the whole map — the joint
         replacement for alternating InertialOptimization with a
         fixed-gravity full BA."""
+        self._vi_dev_state = None  # host-side VI solve: chunk state stale
         if self.n_kf < 3:
             return
         prob, window_ids = self._build_full_vi_problem()
@@ -897,6 +1179,7 @@ class InertialSlam(MonoSlam):
         self._check_bad_imu()
 
     def _run_vi_ba(self, window, n_iters, bias_prior_g=0.0, bias_prior_a=0.0):
+        self._vi_dev_state = None  # host-side VI solve: chunk state stale
         if self.n_kf < 2:
             return
         last = self.n_kf

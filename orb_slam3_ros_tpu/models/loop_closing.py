@@ -384,8 +384,16 @@ def _fuse_duplicates(m: ms.MapState, pt1, pt2, pair_ok):
     remap = jnp.arange(P, dtype=jnp.int32).at[src].set(
         jnp.where(ok, dst, src).astype(jnp.int32)
     )
+    vr = jnp.clip(m.kf_obs, 0, P - 1)
+    tgt = remap[vr]
+    # MapPoint::Replace (orb_slam3/src/MapPoint.cc:120-145): a keyframe
+    # already observing the winner ERASES its loser binding — remapping
+    # would bind two of its features to one landmark (see the same fix
+    # in map_updates._fuse_into_kf).
+    has = ms.obs_matrix(m)
+    tgt_dup = jnp.take_along_axis(has, tgt, axis=1)
     new_obs = jnp.where(
-        m.kf_obs >= 0, remap[jnp.clip(m.kf_obs, 0, P - 1)], m.kf_obs
+        m.kf_obs >= 0, jnp.where((tgt != vr) & tgt_dup, -1, tgt), m.kf_obs
     )
     killed = jnp.zeros((P,), bool).at[src].max(ok)
     return m._replace(kf_obs=new_obs, pt_valid=m.pt_valid & ~killed)

@@ -291,7 +291,20 @@ def _fuse_into_kf(
         mode="drop",
     )
     v = kf_obs
-    kf_obs = jnp.where(v >= 0, remap[jnp.clip(v, 0, P - 1)], v)
+    vr = jnp.clip(v, 0, P - 1)
+    tgt = remap[vr]
+    # MapPoint::Replace semantics (orb_slam3/src/MapPoint.cc:120-145): a
+    # keyframe that ALREADY observes the winner erases its loser binding
+    # instead of remapping it — a plain remap would leave two features of
+    # one keyframe bound to the same landmark, and the row-structured
+    # BA/VI-BA gathers (one observation per (keyframe, landmark) row)
+    # then silently drop one of them, which measurably degrades the
+    # mono-inertial scale solve.
+    has = obs_matrix(m._replace(kf_obs=kf_obs))  # [K,P] post-bind membership
+    tgt_dup = jnp.take_along_axis(has, tgt, axis=1)  # [K,N]
+    kf_obs = jnp.where(
+        v >= 0, jnp.where((tgt != vr) & tgt_dup, -1, tgt), v
+    )
     lm = jnp.clip(loser, 0, P - 1)
     dead = jnp.zeros((P,), bool).at[lm].max(merge)
     add_found = jnp.zeros((P,), jnp.int32).at[jnp.clip(winner, 0, P - 1)].add(

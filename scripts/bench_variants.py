@@ -77,7 +77,7 @@ def run_vi():
     # Warm past ALL three IMU-init stages (kf_every=4, init at kf6,
     # refinements at kf10/kf14 -> frame ~66) so no VIBA program compiles
     # in the timed region.
-    n_frames, warm = 150, 90
+    n_frames, warm = 165, 105
     freq = 100.0
     seq, imu = synth.make_vi_sequence(
         n_frames=n_frames, height=H, width=W, frame_dt=0.1, imu_per_frame=10,
@@ -96,19 +96,37 @@ def run_vi():
         max_keyframes=64, max_points=4096, kf_every=4,
         calib=calib, init_after_kf=6, lean_after_kf=4, track_cap=768,
     )
-    for i in range(warm):
+    # Per-frame through the three-stage IMU-init ladder, then the
+    # device-resident VI chunk loop (vi_device_loop.py) takes over; the
+    # warm region covers the chunk program's compile.
+    chunk = 15
+    frames_dev = jnp.asarray(np.clip(np.stack(seq.images), 0, 255).astype(np.uint8))
+    jax.block_until_ready(frames_dev)
+    i = 0
+    while i < warm - 2 * chunk and not slam._vi_chunkable():
         slam.process_frame(
             seq.images[i], float(seq.timestamps[i]),
             acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
         )
+        i += 1
+    while i + chunk <= warm:
+        slam.process_frames(
+            (frames_dev, i), seq.timestamps[i : i + chunk],
+            acc=imu["acc"][i : i + chunk], gyro=imu["gyro"][i : i + chunk],
+            dts=imu["dts"][i : i + chunk],
+        )
+        i += chunk
+    start = i
     t0 = time.time()
-    for i in range(warm, n_frames):
-        slam.process_frame(
-            seq.images[i], float(seq.timestamps[i]),
-            acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
+    while i + chunk <= n_frames:
+        slam.process_frames(
+            (frames_dev, i), seq.timestamps[i : i + chunk],
+            acc=imu["acc"][i : i + chunk], gyro=imu["gyro"][i : i + chunk],
+            dts=imu["dts"][i : i + chunk],
         )
+        i += chunk
     slam.flush()
-    fps = (n_frames - warm) / (time.time() - t0)
+    fps = (i - start) / (time.time() - t0)
     return fps, slam.imu_initialized
 
 
