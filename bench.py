@@ -37,8 +37,10 @@ def main():
     import jax.numpy as jnp
 
     from orb_slam3_ros_tpu.models.system import MonoSlam, OK
-    from orb_slam3_ros_tpu.utils import synth
+    from orb_slam3_ros_tpu.utils import synth, tpucache
     from orb_slam3_ros_tpu.utils.evaluate_ate import ate_rmse
+
+    tpucache.enable_on_tpu()  # warm-cache reruns: minutes -> seconds
 
     H, W = 480, 752
     n_frames = 120

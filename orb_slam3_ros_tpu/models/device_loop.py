@@ -75,22 +75,60 @@ def make_chunk_runner(
     K_cap: int,
     track_cap: int | None = None,
     cam_model: str = "pinhole",
+    bf: float = 0.0,
+    baseline: float = 0.0,
+    max_depth: float = 0.0,
+    stereo: bool = False,
 ):
-    """Build the jitted chunk program for one pipeline geometry."""
+    """Build the jitted chunk program for one pipeline geometry.
+
+    ``stereo``: frames are [2,H,W] rectified pairs; each step extracts
+    both views, runs the per-feature stereo correspondence
+    (Frame::ComputeStereoMatches role), refines the tracked pose over
+    mixed (u, v, u_r) edges (the stereo branch of PoseOptimization,
+    Optimizer.cc:816), and the keyframe body creates close landmarks
+    from depth (Tracking::CreateNewKeyFrame, Tracking.cc:3255) before
+    triangulating far ones; local-BA rows carry u_r with ``bf``."""
+    import numpy as _np
+
+    from ..ops import pose_opt as pose_opt_ops
+    from ..ops import stereo as stereo_ops
+
     n_levels = config.n_levels
     row_n = config.total_cap
+    fx = float(_np.asarray(cam_params)[0])
+    bf_d = jnp.asarray(bf, jnp.float32)
 
-    def _kf_body(m, kf_id, R, t, ts, feats, feat_pt, n_pts):
+    def _kf_body(m, kf_id, R, t, ts, feats, feat_pt, n_pts, ur, depth):
         """keyframe_work with cadence gates as device conds (the chunk
         cannot specialize per-keyframe static flags)."""
-        m = map_updates.insert_keyframe(m, kf_id, R, t, ts, feats, feat_pt)
+        m = map_updates.insert_keyframe(
+            m, kf_id, R, t, ts, feats, feat_pt,
+            ur=ur if stereo else None,
+        )
+        base = n_pts
+        n_new = jnp.asarray(0, jnp.int32)
+        if stereo:
+            # Close points from stereo depth first (metric), ...
+            cand = (depth > 0) & (depth < max_depth) & feats.valid
+            X_c = stereo_ops.backproject(cam_params, feats.xy, depth)
+            X_w = jnp.einsum("ji,nj->ni", R, X_c - t)
+            m, n_depth = map_updates.admit_depth_points(
+                m, kf_id, X_w, cand, base,
+                jnp.asarray(m.P, jnp.int32) - base,
+            )
+            base = base + n_depth
+            n_new = n_new + n_depth
+        # ... then epipolar triangulation binds what remains unbound
+        # (far stereo points / all mono points).
         tri = tracking.triangulate_with_ref(
             m, kf_id, kf_id - 1, cam_params, cam_model=cam_model
         )
-        m, n_new = map_updates.admit_new_points(
-            m, kf_id, kf_id - 1, tri, n_pts,
-            jnp.asarray(m.P, jnp.int32) - n_pts,
+        m, n_tri = map_updates.admit_new_points(
+            m, kf_id, kf_id - 1, tri, base,
+            jnp.asarray(m.P, jnp.int32) - base,
         )
+        n_new = n_new + n_tri
         if fuse_neighbors > 0:
             m = jax.lax.cond(
                 (kf_id >= 2) & (kf_id % fuse_every == 0),
@@ -106,7 +144,7 @@ def make_chunk_runner(
         )
         prob, sel = local_mapping.build_local_ba(
             m, window_ids, fixed_mask, cam_params,
-            bf=jnp.asarray(0.0, jnp.float32), entry_valid=entry_valid,
+            bf=bf_d, entry_valid=entry_valid,
         )
         res = ba.bundle_adjust(
             prob, n_iters=local_ba_iters, row_n=row_n, rel_tol=1e-3,
@@ -136,13 +174,37 @@ def make_chunk_runner(
         img, ts, fid = x
         # uint8 frames (real camera format) upload at 1/4 the f32 bytes;
         # extraction math is f32 either way.
-        feats = orb.extract(img.astype(jnp.float32), config)
+        if stereo:
+            il = img[0].astype(jnp.float32)
+            ir = img[1].astype(jnp.float32)
+            feats = orb.extract(il, config)
+            feats_r = orb.extract(ir, config)
+            sm = stereo_ops.match_stereo(
+                feats, feats_r, il, ir, fx=fx, baseline=baseline
+            )
+            ur = jnp.where(sm.valid, sm.u_right, -1.0)
+            depth = jnp.where(sm.valid, sm.depth, -1.0)
+        else:
+            feats = orb.extract(img.astype(jnp.float32), config)
+            ur = depth = None
         R_pred = c.vel_R @ c.R
         t_pred = c.vel_R @ c.t + c.vel_t
         res = tracking.track_against_map(
             c.m, feats, R_pred, t_pred, cam_params, width, height,
             schedule=schedule, track_cap=track_cap, cam_model=cam_model,
         )
+        if stereo:
+            # Stereo refinement over mixed (u, v, u_r) edges — the
+            # host path's _stereo_refine.
+            P = c.m.P
+            pt = jnp.clip(res.feat_pt, 0, P - 1)
+            svalid = (res.feat_pt >= 0) & c.m.pt_valid[pt] & feats.valid
+            inv_s2 = 1.2 ** (-2.0 * feats.level.astype(jnp.float32))
+            r2 = pose_opt_ops.pose_optimization_stereo(
+                res.R, res.t, c.m.pt_X[pt], feats.xy, ur, bf_d,
+                inv_s2, svalid, cam_params,
+            )
+            res = res._replace(R=r2.R, t=r2.t, n_inliers=r2.n_inliers)
         ok = c.alive & (res.n_inliers >= 15)
         R_new = jnp.where(ok, res.R, c.R)
         t_new = jnp.where(ok, res.t, c.t)
@@ -165,7 +227,8 @@ def make_chunk_runner(
         def do_kf(args):
             m, n_pts = args
             m2, n_new = _kf_body(
-                m, c.n_kf, R_new, t_new, ts, feats, res.feat_pt, n_pts
+                m, c.n_kf, R_new, t_new, ts, feats, res.feat_pt, n_pts,
+                ur, depth,
             )
             return m2, n_pts + n_new
 

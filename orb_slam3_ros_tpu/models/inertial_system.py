@@ -37,7 +37,7 @@ def _vi_kf_work(
     m, kf_id, R, t, ts, feats, feat_pt, n_pts, free_cap,
     v_new, bg_new, ba_new, big, small, calib, cam_params, bf,
     width, height, fuse_neighbors, do_fuse, do_stats, do_cull,
-    n_iters, n_levels, cam_model,
+    n_iters, n_levels, cam_model, ur=None, depth=None, max_depth=0.0,
 ):
     """Fused per-keyframe VI program: insert -> record body state ->
     triangulate -> admit -> fuse -> temporal-window VI-BA -> culls, as
@@ -48,19 +48,37 @@ def _vi_kf_work(
 
     ``big`` [W-1, S, 7]: per-edge IMU blocks (acc | gyro | dt);
     ``small`` [3W-1]: window ids | fixed mask | edge_ok, f32-packed.
+    ``ur``/``depth``: stereo-inertial keyframes carry right-image
+    coordinates and create close landmarks from depth (Tracking.cc:3255)
+    before far-point triangulation.
     """
-    m = map_updates.insert_keyframe(m, kf_id, R, t, ts, feats, feat_pt)
+    m = map_updates.insert_keyframe(m, kf_id, R, t, ts, feats, feat_pt,
+                                    ur=ur)
     m = m._replace(
         kf_v=m.kf_v.at[kf_id].set(v_new),
         kf_bg=m.kf_bg.at[kf_id].set(bg_new),
         kf_ba=m.kf_ba.at[kf_id].set(ba_new),
     )
+    base = n_pts
+    n_new = jnp.asarray(0, jnp.int32)
+    if depth is not None:
+        from ..ops import stereo as stereo_ops
+
+        cand = (depth > 0) & (depth < max_depth) & feats.valid
+        X_c = stereo_ops.backproject(cam_params, feats.xy, depth)
+        X_w = jnp.einsum("ji,nj->ni", R, X_c - t)
+        m, n_depth = map_updates.admit_depth_points(
+            m, kf_id, X_w, cand, base, free_cap
+        )
+        base = base + n_depth
+        n_new = n_new + n_depth
     tri = tracking.triangulate_with_ref(
         m, kf_id, kf_id - 1, cam_params, cam_model=cam_model
     )
-    m, n_new = map_updates.admit_new_points(
-        m, kf_id, kf_id - 1, tri, n_pts, free_cap
+    m, n_tri = map_updates.admit_new_points(
+        m, kf_id, kf_id - 1, tri, base, free_cap - n_new
     )
+    n_new = n_new + n_tri
     if do_fuse:
         m, _ = map_updates.fuse_in_neighbors(
             m, kf_id, cam_params, width, height,
@@ -100,25 +118,24 @@ def _pack_kf_state(m, kf):
 def _vi_refine(
     m, feats, feat_pt, R_cw0, t_cw0, v0, bg0, ba0,
     R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
-    prior_H, prior_state, cam_params, R_bc, t_bc,
+    anc_Sigma, cam_params, R_bc, t_bc,
 ):
     """Gather the tracker's per-feature landmark bindings into visual
     edges and run the 15-dof VI motion-only solve (the per-frame
-    PoseInertialOptimizationLast* stage). ``prior_state`` is the
-    (R, p, v, bg, ba) mean of the 15-dim marginal prior."""
+    PoseInertialOptimizationLast* stage). ``anc_Sigma`` is the anchor
+    state's posterior covariance (zeros = exact anchor), propagated into
+    the edge covariances inside the solve."""
     P = m.P
     pt = jnp.clip(feat_pt, 0, P - 1)
     valid = (feat_pt >= 0) & m.pt_valid[pt] & feats.valid
     Xw = m.pt_X[pt]
     inv_sigma2 = 1.2 ** (-2.0 * feats.level.astype(jnp.float32))
     R_wb0, p_wb0 = viba.body_from_cam(R_cw0, t_cw0, R_bc, t_bc)
-    R_pr, p_pr, v_pr, bg_pr, ba_pr = prior_state
     res = viba.pose_inertial_optimization(
         R_wb0, p_wb0, v0, bg0, ba0,
         Xw, feats.xy, inv_sigma2, valid,
         R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
-        prior_H, R_pr, p_pr, v_pr, bg_pr, ba_pr,
-        cam_params, R_bc, t_bc,
+        anc_Sigma, cam_params, R_bc, t_bc,
     )
     R_cw, t_cw = viba.cam_from_body(res.R_wb, res.p_wb, R_bc, t_bc)
     return res, R_cw, t_cw
@@ -145,7 +162,7 @@ class InertialSlam(MonoSlam):
         self.time_recently_lost = time_recently_lost
         self._lost_since_ts = None
         self._vi_anchor = None  # (R_wb, p_wb, v, bg, ba) device handles
-        self._vi_prior = None  # (H [15,15], state tuple) device handles
+        self._vi_prior = None  # [15,15] anchor posterior cov device handle
         self.calib = calib
         self.imu_cap_frame = imu_cap_frame
         self.imu_cap_kf = imu_cap_kf
@@ -247,6 +264,13 @@ class InertialSlam(MonoSlam):
         self.vel_t = np.zeros(3, np.float32)
         self.state = NOT_INITIALIZED
         self._ref_cache = None
+
+    # ------------------------------------------------------------------
+    def _fallback_frame_imu(self, img, ts, acc, gyro, dts):
+        """Route one frame+IMU block from a chunk fallback/replay
+        through the per-frame path (stereo-inertial overrides to split
+        the [2,H,W] pair)."""
+        return self.process_frame(img, ts, acc=acc, gyro=gyro, dts=dts)
 
     # ------------------------------------------------------------------
     def process_frame(self, img, ts: float, acc=None, gyro=None, dts=None):
@@ -357,7 +381,7 @@ class InertialSlam(MonoSlam):
             return prog
         from ..ops import orb as orb_mod
 
-        def _prog(img, m, anchor, prior_H, prior_state, a, g, d, schedule):
+        def _prog(img, m, anchor, anc_Sigma, a, g, d, schedule):
             R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
             b = jnp.concatenate([bg_anc, ba_anc])
             pre = imu_ops.preintegrate(a, g, d, b, self.calib)
@@ -376,7 +400,7 @@ class InertialSlam(MonoSlam):
                 m, feats, res.feat_pt, res.R, res.t,
                 v_anc, bg_anc, ba_anc,
                 R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
-                prior_H, prior_state, self.cam_params,
+                anc_Sigma, self.cam_params,
                 self.calib.R_bc, self.calib.t_bc,
             )
             packed = jnp.concatenate([
@@ -435,15 +459,13 @@ class InertialSlam(MonoSlam):
         nn = min(len(acc), M)
         a[:nn], g[:nn], d[:nn] = acc[:nn], gyro[:nn], dts[:nn]
         anchor = self._vi_anchor or self._body_state_from_host()
-        if self._vi_prior is not None:
-            prior_H, prior_state = self._vi_prior
-        else:
-            z3 = jnp.zeros(3)
-            prior_H = jnp.zeros((15, 15))
-            prior_state = (jnp.eye(3), z3, z3, z3, z3)
+        anc_Sigma = (
+            self._vi_prior if self._vi_prior is not None
+            else jnp.zeros((15, 15))
+        )
         feats, res, vires, R_cw, t_cw, packed = self._vi_fused_program()(
             jnp.asarray(img, jnp.float32), self._tmap(), anchor,
-            prior_H, prior_state,
+            anc_Sigma,
             jnp.asarray(a), jnp.asarray(g), jnp.asarray(d),
             schedule=self._current_schedule(),
         )
@@ -468,17 +490,24 @@ class InertialSlam(MonoSlam):
     # frame, the full VI keyframe program under lax.cond — in ONE
     # dispatch + ONE packed fetch per chunk of frames.
     def _vi_chunkable(self) -> bool:
+        # A LoopCloser/Atlas no longer blocks chunking: closure checks
+        # and archived-map merging run at CHUNK BOUNDARIES on the
+        # keyframes the chunk inserted (_drain_vi_chunk), mirroring the
+        # mono chunk's composition and the reference's loop thread
+        # consuming a KF queue without blocking tracking
+        # (LoopClosing.cc:1108). An in-flight chunked GBA coexists too:
+        # chunks poll it at their boundaries (_poll_gba) and the partial
+        # apply folds in keyframes created meanwhile.
         return (
             self.imu_initialized
             and self.vi_tracking
             and self.imu_stage >= 3  # all IMU-init ladder stages done
             and self.state == OK
-            and self.loop_closer is None
-            and getattr(self, "atlas", None) is None
-            and self._gba is None
             and self.track_dev is None
             and self.track_window is None
-            and self.bf == 0.0  # chunk KF work builds mono VI-BA rows
+            # Mono VI chunks build bf=0 rows; the stereo VI chunk builds
+            # (u,v,u_r) rows and lifts the restriction.
+            and (self.bf == 0.0 or self._chunk_stereo())
             # The in-chunk temporal window assumes it is always full.
             and self.n_kf > self.W
         )
@@ -504,6 +533,9 @@ class InertialSlam(MonoSlam):
                 imu_cap_kf=self.imu_cap_kf,
                 track_cap=self.track_cap, cam_model=self.cam_model,
                 bf=float(self.bf),
+                baseline=float(getattr(self, "baseline", 0.0)),
+                max_depth=float(getattr(self, "max_depth", 0.0)),
+                stereo=self._chunk_stereo(),
             )
             self._vi_runner_cache[key] = r
         return r
@@ -518,9 +550,9 @@ class InertialSlam(MonoSlam):
         anchor = self._vi_anchor or self._body_state_from_host()
         R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
         if self._vi_prior is not None:
-            prior_H = self._vi_prior[0]
+            Sigma = self._vi_prior
         else:
-            prior_H = jnp.zeros((15, 15))
+            Sigma = jnp.zeros((15, 15))
         t0 = getattr(self, "_last_kf_ts", None)
         a, g, d = self._collect_block(-1e18 if t0 is None else t0, 1e18)
         blk = np.concatenate([a, g, d[:, None]], axis=-1).astype(np.float32)
@@ -534,7 +566,7 @@ class InertialSlam(MonoSlam):
         return VIDevState(
             R_wb=jnp.asarray(R_anc), p_wb=jnp.asarray(p_anc),
             v=jnp.asarray(v_anc), bg=jnp.asarray(bg_anc),
-            ba=jnp.asarray(ba_anc), prior_H=jnp.asarray(prior_H),
+            ba=jnp.asarray(ba_anc), Sigma=jnp.asarray(Sigma),
             blk=jnp.asarray(blk),
             blk_n=jnp.asarray(int((d > 0).sum()), jnp.int32),
             blk_ok=jnp.asarray(True),
@@ -554,11 +586,19 @@ class InertialSlam(MonoSlam):
         if acc is None:
             return super().process_frames(imgs, tss)
         self._drain_vi_chunk()
+        self._poll_gba()  # advance an in-flight global BA between chunks
         C = len(tss)
         fallback_imgs = (
             _ChunkReplayView(imgs[0], int(imgs[1]))
             if isinstance(imgs, tuple) else imgs
         )
+        # Drain the lag-1 per-frame pending BEFORE evaluating the chunk
+        # gate: the drained result can transition state to
+        # RECENTLY_LOST/LOST or insert a keyframe, and the gate must see
+        # the post-drain state (a stale gate could dispatch the
+        # steady-state loop while the system is actually lost).
+        self._drain_vi_pending()
+        self._drain_pending()
         ok_chunk = isinstance(imgs, tuple) and self._vi_chunkable()
         tss_np = np.asarray(tss, np.float64)
         if ok_chunk:
@@ -568,17 +608,14 @@ class InertialSlam(MonoSlam):
             ))
             if np.any(gaps > self.ts_jump_threshold):
                 ok_chunk = False
-        if ok_chunk and self.n_kf >= self.K_cap - 1 - C // 2:
+        if ok_chunk and self.n_kf >= self.K_cap - 1 - (C + 1) // 2:
             self._make_room()
         if not ok_chunk:
             for i, ts in enumerate(tss):
-                self.process_frame(
-                    fallback_imgs[i], float(ts),
-                    acc=acc[i], gyro=gyro[i], dts=dts[i],
+                self._fallback_frame_imu(
+                    fallback_imgs[i], float(ts), acc[i], gyro[i], dts[i]
                 )
             return
-        self._drain_vi_pending()
-        self._drain_pending()
         self._apply_kf_async(force=True)
         # Build the device state BEFORE recording the chunk's IMU in the
         # host history: _collect_block gathers everything after the last
@@ -639,7 +676,9 @@ class InertialSlam(MonoSlam):
         from .vi_device_loop import unpack_vi_chunk_result
 
         C = len(p["tss"])
-        kmax = C // 2
+        # Worst-case in-chunk KF density is one per 2 frames (the
+        # weak-tracking branch of need_kf): ceil(C/2) for odd chunks.
+        kmax = (C + 1) // 2
         outs, sc, new_blk, new_ok = unpack_vi_chunk_result(
             p["fut"].result(), C, kmax, self.imu_cap_kf
         )
@@ -707,6 +746,38 @@ class InertialSlam(MonoSlam):
             self._maybe_publish_points(float(p["tss"][-1]))
         if self._check_bad_imu():
             return
+        # Loop closing / Atlas merging over the chunk's new keyframes at
+        # the chunk boundary (the reference's asynchronous loop thread
+        # consuming a KF queue, LoopClosing.cc:1108) — the same
+        # composition as the mono chunk (_drain_chunk). A fired closure
+        # rewrites poses/velocities (4-dof PGO + velocity rotation), so
+        # the device chunk state and host anchors must be rebuilt.
+        new_kf_slots = [
+            int(outs["ref"][i]) for i in range(C)
+            if bool(outs["is_kf"][i]) and bool(outs["alive"][i])
+        ]
+        moved = False
+        if self.loop_closer is not None:
+            for kf_id in new_kf_slots:
+                self.key, sub = jax.random.split(self.key)
+                if self.loop_closer.try_close(self, kf_id, sub):
+                    moved = True
+        if (
+            getattr(self, "atlas", None) is not None
+            and self.atlas.maps
+            and any(k % 4 == 0 for k in new_kf_slots)
+        ):
+            self.key, sub = jax.random.split(self.key)
+            self._freeze_rel_traj()
+            if self.atlas.merge_current_into(self, 0, sub):
+                moved = True
+        if moved:
+            self._vi_dev_state = None
+            self._vi_anchor = None
+            self._vi_prior = None
+            self._sync_host_state()
+            if self._check_bad_imu():
+                return
         if not sc["alive"]:
             # Visual support collapsed mid-chunk: hand off to the
             # per-frame RECENTLY_LOST ladder (IMU dead-reckoning /
@@ -716,13 +787,23 @@ class InertialSlam(MonoSlam):
             self.state = RECENTLY_LOST
             self._lost_since_ts = float(p["tss"][k]) if k < C else None
             acc, gyro, dts = p["imu"]
+            # The whole chunk's IMU was already appended to _imu_history
+            # by process_frames; the replay below re-appends the tail
+            # frames' samples via process_frame — drop them first so the
+            # next _collect_block does not double-integrate the tail
+            # into the post-recovery keyframe's preintegration block.
+            if k < C:
+                cut = float(p["tss"][k]) - 1e-9
+                self._imu_history = [
+                    e for e in self._imu_history if e[0] < cut
+                ]
             saved = self.frame_id
             self.frame_id = p["fid0"] + k
             try:
                 for i in range(k, C):
-                    self.process_frame(
+                    self._fallback_frame_imu(
                         p["imgs"][i], float(p["tss"][i]),
-                        acc=acc[i], gyro=gyro[i], dts=dts[i],
+                        acc[i], gyro[i], dts[i],
                     )
             finally:
                 self.frame_id = max(saved, self.frame_id)
@@ -753,17 +834,15 @@ class InertialSlam(MonoSlam):
         R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
         b = jnp.concatenate([jnp.asarray(bg_anc), jnp.asarray(ba_anc)])
         pre = self._jit_preint(jnp.asarray(a), jnp.asarray(g), jnp.asarray(d), b)
-        if self._vi_prior is not None:
-            prior_H, prior_state = self._vi_prior
-        else:
-            z3 = jnp.zeros(3)
-            prior_H = jnp.zeros((15, 15))
-            prior_state = (jnp.eye(3), z3, z3, z3, z3)
+        anc_Sigma = (
+            self._vi_prior if self._vi_prior is not None
+            else jnp.zeros((15, 15))
+        )
         vires, R_cw, t_cw = _vi_refine(
             self.map, feats, res.feat_pt, res.R, res.t,
             jnp.asarray(self.v_cur), jnp.asarray(bg_anc), jnp.asarray(ba_anc),
             R_anc, p_anc, v_anc, bg_anc, ba_anc, pre,
-            prior_H, prior_state, self.cam_params,
+            anc_Sigma, self.cam_params,
             self.calib.R_bc, self.calib.t_bc,
         )
         n_vis, R_new, t_new = jax.device_get(
@@ -806,7 +885,8 @@ class InertialSlam(MonoSlam):
         self.bg_cur = vires.bg
         self.ba_cur = vires.ba
         self._vi_anchor = state_tuple
-        self._vi_prior = (vires.H, state_tuple)
+        # Next frame's anchor uncertainty = this solve's posterior cov.
+        self._vi_prior = vires.Sigma
         self.map = map_updates.update_track_counters(
             self.map, res.visible_mask, res.found_mask
         )
@@ -924,6 +1004,12 @@ class InertialSlam(MonoSlam):
         do_cull = (
             self.kf_culling and kf_id >= 4 and kf_id % self.cull_every == 0
         )
+        sm = getattr(self, "_last_depth", None)
+        if sm is not None and self.bf > 0:
+            ur = jnp.where(sm.valid, sm.u_right, -1.0)
+            depth = jnp.where(sm.valid, sm.depth, -1.0)
+        else:
+            ur = depth = None
         self.map, packed = _vi_kf_work(
             self.map, jnp.asarray(kf_id, jnp.int32),
             jnp.asarray(self.R_cur), jnp.asarray(self.t_cur),
@@ -938,6 +1024,10 @@ class InertialSlam(MonoSlam):
             self.width, self.height, self.fuse_neighbors,
             do_fuse, do_stats, do_cull,
             self.local_ba_iters, self.config.n_levels, self.cam_model,
+            ur=ur, depth=depth,
+            max_depth=jnp.asarray(
+                float(getattr(self, "max_depth", 0.0)), jnp.float32
+            ),
         )
         self.n_kf += 1
         self.last_kf_frame = self.frame_id
@@ -1156,6 +1246,15 @@ class InertialSlam(MonoSlam):
                 for ts, ref, R_cr, t_cr in self.rel_traj
             ]
         self._sync_host_state()
+
+    def _finish_gba(self):
+        """A folded-in global BA moved keyframe poses: the device chunk
+        anchors and the per-frame marginal prior are stale (rebuilt from
+        host state on the next frame/chunk)."""
+        super()._finish_gba()
+        self._vi_dev_state = None
+        self._vi_anchor = None
+        self._vi_prior = None
 
     def _sync_host_state(self):
         """Refresh host-side bias/velocity/ref-pose from the newest KF —

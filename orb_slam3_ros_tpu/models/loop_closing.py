@@ -286,10 +286,17 @@ def _essential_graph_pgo(
         m.pt_X, jnp.clip(m.pt_first_kf, 0, K - 1),
         m.kf_R, m.kf_t, ones, res.R, res.t, res.s,
     )
+    # Rotate world-frame KF velocities by each KF's rotation correction
+    # (Rcor = Rwc_corrected @ Rcw_old), the reference's
+    # pKFi->SetVelocity(Rcor * Vw) in CorrectLoop — without it an
+    # inertial closure leaves velocities in the pre-correction world.
+    Rcor = jnp.einsum("kji,kjl->kil", res.R, m.kf_R)
+    v_new = jnp.einsum("kij,kj->ki", Rcor, m.kf_v)
     m2 = m._replace(
         kf_R=jnp.where(valid[:, None, None], res.R, m.kf_R),
         kf_t=jnp.where(valid[:, None], new_t, m.kf_t),
         pt_X=jnp.where(m.pt_valid[:, None], X_new, m.pt_X),
+        kf_v=jnp.where(valid[:, None], v_new, m.kf_v),
     )
     return m2, res.cost
 
@@ -363,10 +370,14 @@ def _pgo_over_chain(
         m.pt_X, jnp.clip(m.pt_first_kf, 0, K - 1),
         m.kf_R, m.kf_t, ones, res.R, res.t, res.s,
     )
+    # Velocity rotation correction (see _essential_graph_pgo).
+    Rcor = jnp.einsum("kji,kjl->kil", res.R, m.kf_R)
+    v_new = jnp.einsum("kij,kj->ki", Rcor, m.kf_v)
     m2 = m._replace(
         kf_R=jnp.where(valid[:, None, None], new_R, m.kf_R),
         kf_t=jnp.where(valid[:, None], new_t, m.kf_t),
         pt_X=jnp.where(m.pt_valid[:, None], X_new, m.pt_X),
+        kf_v=jnp.where(valid[:, None], v_new, m.kf_v),
     )
     return m2, res.cost
 
@@ -386,14 +397,13 @@ def _fuse_duplicates(m: ms.MapState, pt1, pt2, pair_ok):
     )
     vr = jnp.clip(m.kf_obs, 0, P - 1)
     tgt = remap[vr]
-    # MapPoint::Replace (orb_slam3/src/MapPoint.cc:120-145): a keyframe
-    # already observing the winner ERASES its loser binding — remapping
-    # would bind two of its features to one landmark (see the same fix
-    # in map_updates._fuse_into_kf).
-    has = ms.obs_matrix(m)
-    tgt_dup = jnp.take_along_axis(has, tgt, axis=1)
-    new_obs = jnp.where(
-        m.kf_obs >= 0, jnp.where((tgt != vr) & tgt_dup, -1, tgt), m.kf_obs
+    # MapPoint::Replace (orb_slam3/src/MapPoint.cc:120-145), enforced
+    # exactly: one binding per (keyframe, landmark) after the remap —
+    # unchanged bindings win, duplicate remapped ones are erased
+    # (map_updates.dedup_obs_rows).
+    new_obs = map_updates.dedup_obs_rows(
+        jnp.where(m.kf_obs >= 0, tgt, m.kf_obs),
+        (m.kf_obs >= 0) & (tgt != vr), P,
     )
     killed = jnp.zeros((P,), bool).at[src].max(ok)
     return m._replace(kf_obs=new_obs, pt_valid=m.pt_valid & ~killed)

@@ -170,10 +170,43 @@ class StereoSlam(MonoSlam):
             self.loop_closer.try_close(self, kf_id, sub)
         self._set_ref_cache(self.n_kf - 1, self.R_cur, self.t_cur)
 
-    def _run_local_ba(self, n_iters):
-        # Stereo gauge: metric scale is observable, one fixed KF suffices;
-        # reuse the mono window logic (it always fixes >= 1).
-        super()._run_local_ba(n_iters)
+    # NOTE: no _run_local_ba override — stereo reuses the mono window
+    # logic verbatim (metric gauge needs >= 1 fixed KF, which it always
+    # has), and the chunk gate's identity check
+    # (`type(self)._run_local_ba is MonoSlam._run_local_ba`) must hold
+    # for the stereo chunk loop to engage.
+
+    # ------------------------------------------------------------------
+    # Device-resident stereo chunk loop: [2,H,W] pairs ride the frame
+    # stack; the chunk step extracts both views, stereo-matches, and
+    # builds (u, v, u_r) BA rows (device_loop.make_chunk_runner with
+    # stereo=True). Fallback/replay frames split the pair back into the
+    # per-frame path.
+    def _chunk_stereo(self) -> bool:
+        return True
+
+    def _fallback_frame(self, img, ts: float):
+        import numpy as _np
+
+        if isinstance(img, (tuple, list)):
+            il, ir = img
+        else:
+            arr = _np.asarray(img)
+            il, ir = arr[0], arr[1]
+        return self.process_frame(il, ir, ts)
+
+    def process_frames(self, imgs, tss, imgs_right=None) -> None:
+        """Chunked stereo tracking. ``imgs`` is either the mono-protocol
+        ``(stack [N,2,H,W], offset)`` device tuple, or a host list of
+        left frames with ``imgs_right`` the matching right frames."""
+        if imgs_right is not None:
+            import numpy as _np
+
+            pairs = _np.stack(
+                [_np.stack([l, r]) for l, r in zip(imgs, imgs_right)]
+            )
+            return super().process_frames(pairs, tss)
+        return super().process_frames(imgs, tss)
 
 
 class StereoInertialSlam(InertialSlam, StereoSlam):
@@ -196,6 +229,8 @@ class StereoInertialSlam(InertialSlam, StereoSlam):
                       dts=None):
         import numpy as _np
 
+        self._drain_vi_chunk()
+        self._vi_dev_state = None
         if acc is not None and len(acc):
             self._imu_history.append(
                 (ts, _np.asarray(acc, _np.float32),
@@ -206,6 +241,16 @@ class StereoInertialSlam(InertialSlam, StereoSlam):
                 self._imu_history.pop(0)
         self._frame_imu = (acc, gyro, dts)
         return StereoSlam.process_frame(self, img_left, img_right, ts)
+
+    def _fallback_frame_imu(self, img, ts, acc, gyro, dts):
+        import numpy as _np
+
+        if isinstance(img, (tuple, list)):
+            il, ir = img
+        else:
+            arr = _np.asarray(img)
+            il, ir = arr[0], arr[1]
+        return self.process_frame(il, ir, ts, acc=acc, gyro=gyro, dts=dts)
 
 
 class RgbdSlam(StereoSlam):

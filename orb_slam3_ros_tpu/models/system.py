@@ -527,6 +527,13 @@ class MonoSlam:
         return self._sched_lean
 
     # ------------------------------------------------------------------
+    def _fallback_frame(self, img, ts: float):
+        """Route one frame from a chunk fallback/replay through the
+        per-frame path. Stereo pipelines override to split the [2,H,W]
+        image pair the stereo chunk stacks ship."""
+        return self.process_frame(img, ts)
+
+    # ------------------------------------------------------------------
     def process_frame(self, img: np.ndarray, ts: float):
         """Track one grayscale frame. Returns Twc [4,4] or None.
 
@@ -663,9 +670,19 @@ class MonoSlam:
                 cull_every=self.cull_every, kf_culling=self.kf_culling,
                 schedule=self._sched_lean, K_cap=self.K_cap,
                 track_cap=self.track_cap, cam_model=self.cam_model,
+                bf=float(self.bf),
+                baseline=float(getattr(self, "baseline", 0.0)),
+                max_depth=float(getattr(self, "max_depth", 0.0)),
+                stereo=self._chunk_stereo(),
             )
             self._chunk_run = r
         return r
+
+    def _chunk_stereo(self) -> bool:
+        """Whether the chunk loop processes [2,H,W] stereo pairs.
+        StereoSlam overrides (RGB-D stays per-frame: its depth maps are
+        float and don't ride the uint8 frame stack)."""
+        return False
 
     def _chunkable(self) -> bool:
         # A LoopCloser/Atlas no longer blocks chunking: closure detection
@@ -684,7 +701,9 @@ class MonoSlam:
             # solve at their boundaries.
             and self.track_window is None
             and self.track_dev is None  # chunk fuses track+map: no 2-chip split
-            and self.bf == 0.0  # chunk KF body builds mono-only BA rows
+            # Mono KF bodies build bf=0 BA rows; the stereo chunk builds
+            # (u,v,u_r) rows and lifts the restriction.
+            and (self.bf == 0.0 or self._chunk_stereo())
             and type(self)._run_local_ba is MonoSlam._run_local_ba
             # Match the per-frame path's dense warm-up on a young map.
             and self.n_kf >= max(2, self.lean_after_kf)
@@ -710,26 +729,28 @@ class MonoSlam:
             fallback_imgs = _ChunkReplayView(imgs[0], int(imgs[1]))
         else:
             fallback_imgs = imgs
+        # Settle the single-frame pipeline's lag-1 result BEFORE the
+        # chunk gate: the drain can change state (loss, reloc, keyframe)
+        # and the gate must see the post-drain state. (Do NOT
+        # force-drain an in-flight GBA — chunks coexist with it.)
+        self._drain_pending()
         if not self._chunkable():
             for i, ts in enumerate(tss):
-                self.process_frame(fallback_imgs[i], float(ts))
+                self._fallback_frame(fallback_imgs[i], float(ts))
             return
-        # Settle the single-frame pipeline's async state (but do NOT
-        # force-drain an in-flight GBA — chunks coexist with it).
-        self._drain_pending()
         self._apply_kf_async(force=True)
         # Worst-case keyframe density inside a chunk is one every 2 frames
         # (the weak-tracking branch of need_kf), not 1/kf_every — reserve
         # for that so the in-chunk K_cap guard can never silently drop
         # keyframes mid-chunk.
-        if self.n_kf >= self.K_cap - 1 - len(tss) // 2:
+        if self.n_kf >= self.K_cap - 1 - (len(tss) + 1) // 2:
             self._make_room()
         tss = _np.asarray(tss, _np.float64)
         last = getattr(self, "_last_frame_ts", None)
         gaps = _np.diff(_np.concatenate([[last if last is not None else tss[0]], tss]))
         if _np.any(gaps > self.ts_jump_threshold):
             for i, ts in enumerate(tss):
-                self.process_frame(fallback_imgs[i], float(ts))
+                self._fallback_frame(fallback_imgs[i], float(ts))
             return
         self._last_frame_ts = float(tss[-1])
         if isinstance(imgs, tuple):
@@ -871,7 +892,7 @@ class MonoSlam:
             self.frame_id = p["fid0"] + k
             try:
                 for i in range(k, len(p["tss"])):
-                    self.process_frame(p["imgs"][i], float(p["tss"][i]))
+                    self._fallback_frame(p["imgs"][i], float(p["tss"][i]))
             finally:
                 self.frame_id = max(saved, self.frame_id)
 

@@ -67,7 +67,7 @@ class VIDevState(NamedTuple):
     v: jnp.ndarray  # [3]
     bg: jnp.ndarray  # [3]
     ba: jnp.ndarray  # [3]
-    prior_H: jnp.ndarray  # [15,15] marginal prior from the last solve
+    Sigma: jnp.ndarray  # [15,15] anchor posterior cov (zeros = exact)
     blk: jnp.ndarray  # [S,7] IMU samples since the last keyframe
     blk_n: jnp.ndarray  # [] int32 fill count
     blk_ok: jnp.ndarray  # [] bool — False after overflow (chain break)
@@ -121,16 +121,30 @@ def make_vi_chunk_runner(
     track_cap: int | None = None,
     cam_model: str = "pinhole",
     bf: float = 0.0,
+    baseline: float = 0.0,
+    max_depth: float = 0.0,
+    stereo: bool = False,
 ):
-    """Build the jitted VI chunk program for one pipeline geometry."""
+    """Build the jitted VI chunk program for one pipeline geometry.
+
+    ``stereo``: frames are [2,H,W] rectified pairs — each step extracts
+    both views and runs the stereo correspondence; keyframes carry u_r,
+    create close landmarks from depth (Tracking.cc:3255), and the
+    in-chunk VI-BA builds (u,v,u_r) rows via ``bf``. The 15-dof VI
+    refine stays mono (the host stereo-inertial path does the same once
+    the IMU provides metric scale)."""
+    import numpy as _np
+
+    from ..ops import stereo as stereo_ops
     from .inertial_system import _vi_refine
 
     n_levels = config.n_levels
     M = imu_cap_frame
     S = imu_cap_kf
+    fx = float(_np.asarray(cam_params)[0])
 
     def _kf_body(m, st, kf_id, R, t, v_new, bg_new, ba_new, ts, feats,
-                 feat_pt, n_pts):
+                 feat_pt, n_pts, ur, depth):
         """The fused VI keyframe iteration (_vi_kf_work's body) with the
         temporal window/fixed masks and IMU blocks assembled ON DEVICE
         from the carried per-KF block store."""
@@ -138,19 +152,35 @@ def make_vi_chunk_runner(
         row = jnp.where((S_idx < st.blk_n)[:, None], st.blk, 0.0)
         kf_blk = st.kf_blk.at[kf_id].set(row)
         kf_edge_ok = st.kf_edge_ok.at[kf_id].set(st.blk_ok)
-        m = map_updates.insert_keyframe(m, kf_id, R, t, ts, feats, feat_pt)
+        m = map_updates.insert_keyframe(
+            m, kf_id, R, t, ts, feats, feat_pt,
+            ur=ur if stereo else None,
+        )
         m = m._replace(
             kf_v=m.kf_v.at[kf_id].set(v_new),
             kf_bg=m.kf_bg.at[kf_id].set(bg_new),
             kf_ba=m.kf_ba.at[kf_id].set(ba_new),
         )
+        base = n_pts
+        n_new = jnp.asarray(0, jnp.int32)
+        if stereo:
+            cand = (depth > 0) & (depth < max_depth) & feats.valid
+            X_c = stereo_ops.backproject(cam_params, feats.xy, depth)
+            X_w = jnp.einsum("ji,nj->ni", R, X_c - t)
+            m, n_depth = map_updates.admit_depth_points(
+                m, kf_id, X_w, cand, base,
+                jnp.asarray(m.P, jnp.int32) - base,
+            )
+            base = base + n_depth
+            n_new = n_new + n_depth
         tri = tracking.triangulate_with_ref(
             m, kf_id, kf_id - 1, cam_params, cam_model=cam_model
         )
-        m, n_new = map_updates.admit_new_points(
-            m, kf_id, kf_id - 1, tri, n_pts,
-            jnp.asarray(m.P, jnp.int32) - n_pts,
+        m, n_tri = map_updates.admit_new_points(
+            m, kf_id, kf_id - 1, tri, base,
+            jnp.asarray(m.P, jnp.int32) - base,
         )
+        n_new = n_new + n_tri
         if fuse_neighbors > 0:
             m = jax.lax.cond(
                 (kf_id >= 2) & (kf_id % fuse_every == 0),
@@ -192,15 +222,15 @@ def make_vi_chunk_runner(
                 lambda mm: mm,
                 m,
             )
-        # Fresh anchor from the BA-refined keyframe state; the marginal
-        # prior is invalidated (BA moved the window poses) — same as the
-        # host path's `_vi_anchor = None; _vi_prior = None`.
+        # Fresh anchor from the BA-refined keyframe state, treated as
+        # exact (Sigma=0) — same as the host path's
+        # `_vi_anchor = None; _vi_prior = None`.
         R_wb, p_wb = viba.body_from_cam(
             m.kf_R[kf_id], m.kf_t[kf_id], calib.R_bc, calib.t_bc
         )
         st2 = VIDevState(
             R_wb=R_wb, p_wb=p_wb, v=m.kf_v[kf_id], bg=m.kf_bg[kf_id],
-            ba=m.kf_ba[kf_id], prior_H=jnp.zeros((15, 15)),
+            ba=m.kf_ba[kf_id], Sigma=jnp.zeros((15, 15)),
             blk=jnp.zeros_like(st.blk),
             blk_n=jnp.zeros((), jnp.int32),
             blk_ok=jnp.ones((), bool),
@@ -224,30 +254,42 @@ def make_vi_chunk_runner(
         pre = imu_ops.preintegrate(a, g, d, b, calib)
         R2, p2, v2 = imu_ops.predict_state(st.R_wb, st.p_wb, st.v, b, pre)
         R_pred, t_pred = viba.cam_from_body(R2, p2, calib.R_bc, calib.t_bc)
-        feats = orb.extract(img.astype(jnp.float32), config)
+        if stereo:
+            il = img[0].astype(jnp.float32)
+            ir = img[1].astype(jnp.float32)
+            feats = orb.extract(il, config)
+            feats_r = orb.extract(ir, config)
+            sm = stereo_ops.match_stereo(
+                feats, feats_r, il, ir, fx=fx, baseline=baseline
+            )
+            ur = jnp.where(sm.valid, sm.u_right, -1.0)
+            depth = jnp.where(sm.valid, sm.depth, -1.0)
+        else:
+            feats = orb.extract(img.astype(jnp.float32), config)
+            ur = depth = None
         res = tracking.track_against_map(
             c.m, feats, R_pred, t_pred, cam_params, width, height,
             schedule=schedule, track_cap=track_cap, cam_model=cam_model,
         )
-        prior_state = (st.R_wb, st.p_wb, st.v, st.bg, st.ba)
         vires, R_cw, t_cw = _vi_refine(
             c.m, feats, res.feat_pt, res.R, res.t,
             st.v, st.bg, st.ba,
             st.R_wb, st.p_wb, st.v, st.bg, st.ba, pre,
-            st.prior_H, prior_state, cam_params,
+            st.Sigma, cam_params,
             calib.R_bc, calib.t_bc,
         )
         n_vis = vires.n_inliers
         ok = c.alive & (n_vis >= 15)
-        # Body anchor advances to the refined frame state (the per-frame
-        # path's `_vi_anchor = state_tuple; _vi_prior = (H, state)`).
+        # Body anchor advances to the refined frame state with its
+        # posterior covariance (the per-frame path's
+        # `_vi_anchor = state_tuple; _vi_prior = vires.Sigma`).
         st = VIDevState(
             R_wb=jnp.where(ok, vires.R_wb, R2),
             p_wb=jnp.where(ok, vires.p_wb, p2),
             v=jnp.where(ok, vires.v_w, v2),
             bg=jnp.where(ok, vires.bg, st.bg),
             ba=jnp.where(ok, vires.ba, st.ba),
-            prior_H=jnp.where(ok, vires.H, jnp.zeros((15, 15))),
+            Sigma=vires.Sigma,
             blk=blk, blk_n=blk_n, blk_ok=blk_ok,
             kf_blk=st.kf_blk, kf_edge_ok=st.kf_edge_ok,
         )
@@ -268,6 +310,7 @@ def make_vi_chunk_runner(
                 m, st, c.n_kf, jnp.where(ok, R_cw, R_pred),
                 jnp.where(ok, t_cw, t_pred),
                 st.v, st.bg, st.ba, ts, feats, res.feat_pt, n_pts,
+                ur, depth,
             )
             return m2, st2, n_pts + n_new
 
@@ -316,8 +359,14 @@ def make_vi_chunk_runner(
         imgs = jax.lax.dynamic_slice_in_dim(frames, off, chunk)
         fids = fid0 + jnp.arange(chunk, dtype=jnp.int32)
         carry2, outs = jax.lax.scan(step, carry, (imgs, tss, fids, imu))
+        # Scalar pose from the carried body state, not the last frame's
+        # visual result: on a mid-chunk collapse the dead tail's failed
+        # refine would otherwise seed the host RECENTLY_LOST anchor.
+        R_sc, t_sc = viba.cam_from_body(
+            carry2.st.R_wb, carry2.st.p_wb, calib.R_bc, calib.t_bc
+        )
         return carry2.m, carry2.st, pack_vi_chunk_result(
-            outs, carry2, n_kf0, chunk // 2
+            outs, carry2, n_kf0, (chunk + 1) // 2, R_sc, t_sc
         )
 
     return run_vi_chunk
@@ -333,7 +382,11 @@ _VI_PF_COLS = 28  # R(9) t(3) R_cr(9) t_cr(3) ref n_inl is_kf alive
 _VI_SC_LEN = 25  # R(9) t(3) v(3) bg(3) ba(3) n_kf n_pts last_kf alive
 
 
-def pack_vi_chunk_result(outs: VIChunkOut, c: VICarry, n_kf0, kmax: int):
+def pack_vi_chunk_result(outs: VIChunkOut, c: VICarry, n_kf0, kmax: int,
+                         R_sc, t_sc):
+    """``R_sc``/``t_sc``: the end-of-chunk camera pose derived from the
+    CARRIED body state (consistent with v/bg/ba even when the last
+    frames of the chunk died)."""
     C = outs.ref.shape[0]
     f32 = jnp.float32
     per_frame = jnp.concatenate(
@@ -350,8 +403,8 @@ def pack_vi_chunk_result(outs: VIChunkOut, c: VICarry, n_kf0, kmax: int):
         axis=1,
     )  # [C, _VI_PF_COLS]
     scal = jnp.concatenate([
-        outs.R[-1].reshape(9),
-        outs.t[-1],
+        R_sc.reshape(9),
+        t_sc,
         c.st.v, c.st.bg, c.st.ba,
         jnp.stack([
             c.n_kf.astype(f32), c.n_pts.astype(f32),

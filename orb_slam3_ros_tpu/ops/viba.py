@@ -986,17 +986,28 @@ def cam_from_body(R_wb, p_wb, R_bc, t_bc):
 
 
 # ---------------------------------------------------------------------------
-# VI motion-only pose optimization with marginalized prior — the roles of
-# Optimizer::PoseInertialOptimizationLastKeyFrame (Optimizer.cc:4636) and
-# PoseInertialOptimizationLastFrame (:5020) with ConstraintPoseImu /
-# EdgePriorPoseImu (G2oTypes.h:706-767). One 15-dof state (frame body
-# pose + velocity + biases) optimized against: masked mono reprojection
-# edges, the 9-dim preintegration factor to a FIXED anchor state (last
-# keyframe or last frame), 6-dim bias random-walk edges to the anchor
-# biases, and an optional 15-dim marginal prior carried from the previous
-# frame's solve. Returns the recovered 15x15 Hessian so the caller can
-# propagate the marginal (the reference builds ConstraintPoseImu from the
-# recovered H, Optimizer.cc:4990-5010).
+# VI motion-only pose optimization with anchor-uncertainty propagation —
+# the roles of Optimizer::PoseInertialOptimizationLastKeyFrame
+# (Optimizer.cc:4636) and PoseInertialOptimizationLastFrame (:5020) with
+# ConstraintPoseImu / EdgePriorPoseImu (G2oTypes.h:706-767). One 15-dof
+# state (frame body pose + velocity + biases) optimized against masked
+# mono reprojection edges, the 9-dim preintegration factor to the anchor
+# state (last keyframe or last frame), and 6-dim bias random-walk edges.
+#
+# The reference keeps TWO vertices (last frame with its marginal prior +
+# current frame) and marginalizes; here the anchor is algebraically
+# eliminated instead: its posterior covariance ``anc_Sigma`` INFLATES
+# the edge covariances (W' = (W^-1 + A Sigma A^T)^-1 with A the residual
+# Jacobian wrt the anchor) — the Schur-complement-exact single-vertex
+# form, which keeps the solve 15-dof (TPU-friendly small dense algebra).
+# Applying the previous posterior directly as a prior ON the current
+# state (the pre-round-4 formulation) is inconsistent: information
+# compounds with no process noise, the solve grows overconfident, and
+# measured visual inlier support decays ~220 -> ~40 between keyframes.
+# Returns the posterior information H and covariance Sigma at the
+# optimum; the caller carries Sigma as the next frame's anchor
+# uncertainty (zeros = treat the anchor as exact, e.g. right after a
+# BA-refined keyframe).
 # ---------------------------------------------------------------------------
 
 
@@ -1009,6 +1020,7 @@ class PoseInertialResult(NamedTuple):
     inlier: jnp.ndarray  # [N] visual edges' final chi2 classification
     n_inliers: jnp.ndarray  # [] int32
     H: jnp.ndarray  # [15,15] recovered information at the optimum
+    Sigma: jnp.ndarray  # [15,15] posterior covariance (next anchor unc.)
     cost: jnp.ndarray
 
 
@@ -1023,34 +1035,59 @@ def pose_inertial_optimization(
     uv: jnp.ndarray,  # [N,2] observations
     inv_sigma2: jnp.ndarray,  # [N]
     valid: jnp.ndarray,  # [N]
-    R_anc: jnp.ndarray,  # anchor (last KF / last frame) body state, FIXED
+    R_anc: jnp.ndarray,  # anchor (last KF / last frame) body state
     p_anc: jnp.ndarray,
     v_anc: jnp.ndarray,
     bg_anc: jnp.ndarray,
     ba_anc: jnp.ndarray,
     preint: imu.Preintegrated,  # anchor -> frame
-    prior_H: jnp.ndarray,  # [15,15] marginal information (zeros = no prior)
-    R_pr: jnp.ndarray,  # prior mean state
-    p_pr: jnp.ndarray,
-    v_pr: jnp.ndarray,
-    bg_pr: jnp.ndarray,
-    ba_pr: jnp.ndarray,
+    anc_Sigma: jnp.ndarray,  # [15,15] anchor posterior cov (zeros = exact)
     cam_params: jnp.ndarray,
     R_bc: jnp.ndarray,
     t_bc: jnp.ndarray,
     rounds: int = 3,
-    iters_per_round: int = 6,
+    iters_per_round: int = 4,
     chi2_th: float = 5.991,
 ) -> PoseInertialResult:
     dtype = R_wb0.dtype
     N = Xw.shape[0]
     z15 = jnp.zeros((15,), dtype)
 
-    # Edge information matrices from the preintegration covariance
-    # (EdgeInertial/EdgeGyroRW/EdgeAccRW info blocks, G2oTypes.h:509).
-    info_i = _info_from_cov(preint.C, slice(0, 9))
-    info_bg = _info_from_cov(preint.C, slice(9, 12))
-    info_ba = _info_from_cov(preint.C, slice(12, 15))
+    # Edge covariance blocks of the preintegration
+    # (EdgeInertial/EdgeGyroRW/EdgeAccRW blocks, G2oTypes.h:509).
+    def _sym(M):
+        return 0.5 * (M + M.T)
+
+    C_i = _sym(preint.C[0:9, 0:9])
+    C_b = _sym(jax.scipy.linalg.block_diag(
+        preint.C[9:12, 9:12], preint.C[12:15, 12:15]
+    ))
+
+    # --- Anchor elimination: inflate the edge covariances by the anchor
+    # posterior mapped through the residual's anchor Jacobian (computed
+    # once at the linearization point) — the Schur-exact replacement for
+    # the reference's two-vertex graph + ConstraintPoseImu marginal. ---
+    def _ri_of_anchor(eps_a):
+        Ra, pa, va, bga, baa = _apply_pert(
+            R_anc, p_anc, v_anc, bg_anc, ba_anc, eps_a
+        )
+        b_f = jnp.concatenate([bg0, ba0])
+        return imu.inertial_residual(Ra, pa, va, b_f, R_wb0, p_wb0, v0, preint)
+
+    A_i = jax.jacfwd(_ri_of_anchor)(z15)  # [9,15]
+    # Bias-walk residual rb = b_frame - b_anchor: Jacobian wrt anchor is
+    # -I on the bias block.
+    A_b = jnp.concatenate(
+        [jnp.zeros((6, 9), dtype), -jnp.eye(6, dtype=dtype)], axis=1
+    )  # [6,15]
+    eye9 = jnp.eye(9, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    info_i = _sym(jnp.linalg.inv(
+        C_i + A_i @ anc_Sigma @ A_i.T + 1e-12 * eye9
+    ))
+    info_b = _sym(jnp.linalg.inv(
+        C_b + A_b @ anc_Sigma @ A_b.T + 1e-12 * eye6
+    ))
 
     vres = jax.vmap(
         _visual_residual,
@@ -1068,15 +1105,22 @@ def pose_inertial_optimization(
             R_anc, p_anc, v_anc, b_f, R2, p2, v2, preint
         )
         rb = jnp.concatenate([bg2 - bg_anc, ba2 - ba_anc])
-        rp = jnp.concatenate([
-            lie.so3_log(jnp.einsum("ji,jk->ik", R_pr, R2)),
-            p2 - p_pr, v2 - v_pr, bg2 - bg_pr, ba2 - ba_pr,
-        ])
-        return rv, ri, rb, rp
+        return rv, ri, rb
+
+    def costf(R, p, v, bg, ba, active):
+        """Residual-only cost (no Jacobians — the cheap accept check)."""
+        rv, ri, rb = residuals(z15, R, p, v, bg, ba)
+        chi2 = jnp.sum(rv * rv, axis=-1) * inv_sigma2
+        cost = (
+            jnp.sum(jnp.where(active, jnp.minimum(chi2, chi2_th), 0.0))
+            + ri @ info_i @ ri
+            + rb @ info_b @ rb
+        )
+        return cost, chi2
 
     def quad(R, p, v, bg, ba, active):
-        rv, ri, rb, rp = residuals(z15, R, p, v, bg, ba)
-        Jv, Ji, Jb, Jp = jax.jacfwd(
+        rv, ri, rb = residuals(z15, R, p, v, bg, ba)
+        Jv, Ji, Jb = jax.jacfwd(
             lambda e: residuals(e, R, p, v, bg, ba)
         )(z15)
         chi2 = jnp.sum(rv * rv, axis=-1) * inv_sigma2
@@ -1086,16 +1130,12 @@ def pose_inertial_optimization(
         g = -jnp.einsum("nia,n,ni->a", Jv, w, rv)
         H = H + Ji.T @ info_i @ Ji
         g = g - Ji.T @ info_i @ ri
-        info_b = jax.scipy.linalg.block_diag(info_bg, info_ba)
         H = H + Jb.T @ info_b @ Jb
         g = g - Jb.T @ info_b @ rb
-        H = H + Jp.T @ prior_H @ Jp
-        g = g - Jp.T @ prior_H @ rp
         cost = (
             jnp.sum(jnp.where(active, jnp.minimum(chi2, chi2_th), 0.0))
             + ri @ info_i @ ri
             + rb @ info_b @ rb
-            + rp @ prior_H @ rp
         )
         return H, g, cost, chi2
 
@@ -1111,7 +1151,7 @@ def pose_inertial_optimization(
             )
             R2, p2, v2, bg2, ba2 = _apply_pert(R, p, v, bg, ba, delta)
             R2 = lie.normalize_rotation(R2)
-            _, _, cost_new, _ = quad(R2, p2, v2, bg2, ba2, active)
+            cost_new, _ = costf(R2, p2, v2, bg2, ba2, active)
             better = cost_new < cost
             R = jnp.where(better, R2, R)
             p = jnp.where(better, p2, p)
@@ -1126,7 +1166,7 @@ def pose_inertial_optimization(
         R, p, v, bg, ba, lam = jax.lax.fori_loop(
             0, iters_per_round, lm_step, (R, p, v, bg, ba, lam)
         )
-        _, _, _, chi2 = quad(R, p, v, bg, ba, valid)
+        _, chi2 = costf(R, p, v, bg, ba, valid)
         active = valid & (chi2 <= chi2_th)
         return (R, p, v, bg, ba, active, lam), None
 
@@ -1135,9 +1175,11 @@ def pose_inertial_optimization(
         lm_round, init, None, length=rounds
     )
     H, _, cost, chi2 = quad(R, p, v, bg, ba, active)
+    H = _sym(H)
     inlier = valid & (chi2 <= chi2_th)
+    Sigma = _sym(jnp.linalg.inv(H + 1e-6 * jnp.eye(15, dtype=dtype)))
     return PoseInertialResult(
         R_wb=R, p_wb=p, v_w=v, bg=bg, ba=ba,
         inlier=inlier, n_inliers=jnp.sum(inlier.astype(jnp.int32)),
-        H=H, cost=cost,
+        H=H, Sigma=Sigma, cost=cost,
     )

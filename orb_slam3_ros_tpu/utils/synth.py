@@ -400,6 +400,35 @@ def _vi_pose_fn(t):
     return R, p
 
 
+def _vi_pose_loop_fn(t):
+    """Smooth LOOPING body pose: a circular sweep inside the room
+    looking outward, returning to the start view after ``_VI_LOOP_T``
+    seconds (the visual-inertial loop-closure sequence), with enough
+    high-frequency excitation for gravity/scale observability."""
+    T = _VI_LOOP_T
+    th = 2.0 * jnp.pi * t / T
+    r = 1.0
+    p = jnp.stack([
+        r * jnp.cos(th) + 0.10 * jnp.sin(2.6 * t),
+        r * jnp.sin(th) + 0.09 * jnp.sin(3.1 * t + 0.4),
+        0.22 * jnp.sin(0.9 * t) + 0.07 * jnp.sin(2.2 * t + 1.1),
+    ])
+    look = jnp.stack([
+        3.5 * jnp.cos(th), 3.5 * jnp.sin(th), 0.5 * jnp.sin(0.23 * t)
+    ])
+    z = look - p
+    z = z / jnp.linalg.norm(z)
+    up = jnp.asarray([0.0, 0.0, 1.0])
+    x = jnp.cross(z, up)
+    x = x / jnp.linalg.norm(x)
+    y = jnp.cross(z, x)
+    R = jnp.stack([x, y, z], axis=-1)
+    return R, p
+
+
+_VI_LOOP_T = 12.0  # seconds per loop revolution
+
+
 def make_vi_sequence(
     n_frames: int = 40,
     height: int = 240,
@@ -414,9 +443,13 @@ def make_vi_sequence(
     noise_a: float = 0.0,
     stereo_baseline: float = 0.0,
     with_depth: bool = False,
+    trajectory: str = "wander",
 ):
     """Cached wrapper around :func:`_make_vi_sequence_impl` (same
-    memoization rationale as :func:`make_sequence`)."""
+    memoization rationale as :func:`make_sequence`).
+
+    ``trajectory``: "wander" (default, quasi-periodic excitation) or
+    "loop" (circular sweep revisiting its start after ~12 s)."""
     kwargs = dict(
         n_frames=n_frames, height=height, width=width, frame_dt=frame_dt,
         imu_per_frame=imu_per_frame, seed=seed,
@@ -426,6 +459,8 @@ def make_vi_sequence(
         noise_g=noise_g, noise_a=noise_a, stereo_baseline=stereo_baseline,
         with_depth=with_depth,
     )
+    if trajectory != "wander":  # keep pre-existing cache keys valid
+        kwargs["trajectory"] = trajectory
     key = _cache_key("viseq", kwargs)
     hit = _cache_load(key)
     if hit is not None:
@@ -455,6 +490,7 @@ def make_vi_sequence(
 def _make_vi_sequence_impl(
     n_frames, height, width, frame_dt, imu_per_frame, seed, gravity, bg,
     ba, noise_g, noise_a, stereo_baseline, with_depth,
+    trajectory="wander",
 ):
     """Render frames + exact IMU for the analytic trajectory.
 
@@ -470,10 +506,11 @@ def _make_vi_sequence_impl(
     ba = np.zeros(3) if ba is None else np.asarray(ba)
     rng = np.random.default_rng(seed + 100)
 
-    pose_jit = jax.jit(_vi_pose_fn)
-    dR_fn = jax.jit(jax.jacfwd(lambda t: _vi_pose_fn(t)[0]))
-    v_fn = jax.jit(jax.jacfwd(lambda t: _vi_pose_fn(t)[1]))
-    a_fn = jax.jit(jax.jacfwd(jax.jacfwd(lambda t: _vi_pose_fn(t)[1])))
+    pose_fn = _vi_pose_loop_fn if trajectory == "loop" else _vi_pose_fn
+    pose_jit = jax.jit(pose_fn)
+    dR_fn = jax.jit(jax.jacfwd(lambda t: pose_fn(t)[0]))
+    v_fn = jax.jit(jax.jacfwd(lambda t: pose_fn(t)[1]))
+    a_fn = jax.jit(jax.jacfwd(jax.jacfwd(lambda t: pose_fn(t)[1])))
 
     scene = make_room(seed=seed)
     f = 0.55 * width

@@ -18,6 +18,9 @@ from __future__ import annotations
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+from orb_slam3_ros_tpu.utils import tpucache as _tpucache
+_tpucache.enable_on_tpu()
+
 import sys
 import time
 

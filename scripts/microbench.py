@@ -17,6 +17,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+from orb_slam3_ros_tpu.utils import tpucache as _tpucache
+_tpucache.enable_on_tpu()
+
 from orb_slam3_ros_tpu.models.system import MonoSlam
 from orb_slam3_ros_tpu.models import local_mapping, map_updates, tracking
 from orb_slam3_ros_tpu.ops import ba

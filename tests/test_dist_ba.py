@@ -76,10 +76,12 @@ class TestDistributedBA:
             np.asarray(res_dist.R), np.asarray(res_single.R), atol=1e-4
         )
 
-    def test_realistic_gba_shape(self, rng):
+    @pytest.mark.slow
+    def test_realistic_gba_shape_equivalence(self, rng):
         """The pipeline's actual global-BA shape (K=64, P=8192, E=65536
         — BASELINE.md operational target) must run sharded on the
-        8-device mesh, both solvers, with finite results."""
+        8-device mesh AND agree with the single-device solve — not just
+        return finite results."""
         import __graft_entry__ as g
 
         prob = g._toy_problem()  # defaults ARE the realistic shape
@@ -93,3 +95,14 @@ class TestDistributedBA:
         res2 = dist_ba.distributed_bundle_adjust(prob, mesh, n_iters=2)
         assert np.isfinite(float(res2.cost))
         assert int(res2.n_inliers) > 60000
+        # Equivalence vs the single-device Schur-LM at the same shape.
+        res_single = ba.bundle_adjust(prob, n_iters=2)
+        np.testing.assert_allclose(
+            np.asarray(res2.cost), np.asarray(res_single.cost), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res2.R), np.asarray(res_single.R), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res2.t), np.asarray(res_single.t), atol=1e-3
+        )

@@ -59,13 +59,14 @@ class TestInertialE2E:
             seq.t_wc, with_scale=True,
         )
         assert n >= 20
-        # Round-3 bound: the three-stage VIBA ladder (priors 1e2 -> 1 ->
-        # free, LocalMapping.cc:184-227) converges to few-percent scale
-        # like the reference's VIBA2 (5.4% on this short weakly-excited
-        # 4.5 s sequence with the fused scatter-free keyframe program;
-        # 2.7% with the unfused solver — the gap is duplicate-observation
-        # handling in the row-structured accumulation).
-        assert abs(s - 1.0) < 0.06, f"scale after IMU init: {s}"
+        # Round-4 bound: with the anchor-uncertainty-propagated per-frame
+        # VI solve (viba.pose_inertial_optimization — the round-3 carried
+        # prior compounded information and biased the whole chain, scale
+        # error 5-6%) the three-stage VIBA ladder (priors 1e2 -> 1 ->
+        # free, LocalMapping.cc:184-227) converges to sub-percent scale
+        # on this 4.5 s sequence, comfortably under the reference's
+        # few-percent VIBA2 convergence.
+        assert abs(s - 1.0) < 0.03, f"scale after IMU init: {s}"
         rmse_m, _, _ = ate_rmse(
             ts[n_skip:], est[n_skip:], seq.timestamps.astype(np.float64),
             seq.t_wc, with_scale=False,

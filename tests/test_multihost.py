@@ -26,7 +26,7 @@ _WORKER = textwrap.dedent(
         coordinator=f"127.0.0.1:{port}", num_processes=2,
         process_id=proc, local_device_count=4,
     )
-    import numpy as np
+    import numpy as np, time
     import __graft_entry__ as g
     prob = g._toy_problem(K=8, P=512, E=2048)
     mesh = multihost.global_mesh()
@@ -34,8 +34,16 @@ _WORKER = textwrap.dedent(
     res = dist_ba.distributed_bundle_adjust(prob, mesh, n_iters=3)
     # res.cost is replicated over the GLOBAL mesh: read the local copy.
     cost = float(np.asarray(res.cost.addressable_shards[0].data))
+    # Per-iteration wall time on the warm program: the closest
+    # measurable stand-in for multi-host scaling on this env (the
+    # collective graph runs over the real 2-process Gloo backend).
+    t0 = time.time()
+    res2 = dist_ba.distributed_bundle_adjust(prob, mesh, n_iters=3)
+    _ = float(np.asarray(res2.cost.addressable_shards[0].data))
+    ms_per_iter = (time.time() - t0) / 3 * 1e3
     if proc == 0:
         print("COST", cost, flush=True)
+        print("MS_PER_ITER", round(ms_per_iter, 2), flush=True)
 """
 )
 
@@ -77,6 +85,14 @@ class TestMultiHost:
         ]
         assert cost_line, outs[0][-3000:]
         dist_cost = float(cost_line[0].split()[1])
+        timing = [
+            ln for ln in outs[0].splitlines() if ln.startswith("MS_PER_ITER ")
+        ]
+        assert timing, outs[0][-3000:]
+        ms = float(timing[0].split()[1])
+        assert 0.0 < ms < 60_000.0
+        print(f"\n[multihost 2-proc Gloo] Schur-LM {ms:.1f} ms/iter "
+              f"(K=8 P=512 E=2048)")
 
         # Single-process reference on this process's local 8-dev mesh.
         import __graft_entry__ as g

@@ -88,6 +88,87 @@ class TestStereoPipeline:
         assert abs(s2 - 1.0) < 0.05, s2
 
 
+@pytest.mark.slow
+class TestStereoChunk:
+    def test_chunked_matches_per_frame(self):
+        """The stereo chunk loop ([2,H,W] pairs on the device stack,
+        (u,v,u_r) BA rows, depth-point creation in the KF body) must
+        match the per-frame stereo path's metric quality."""
+        n = 48
+        seq = synth.make_sequence(
+            n_frames=n, height=240, width=376, dt=0.1, seed=3,
+            stereo_baseline=BASELINE,
+        )
+
+        def run(chunked):
+            slam = StereoSlam(
+                height=240, width=376, cam_params=seq.cam_params,
+                n_features=800, max_keyframes=32, max_points=4096,
+                baseline=BASELINE, kf_every=4, lean_after_kf=3,
+            )
+            counts = {"pf": 0}
+            orig = slam.process_frame
+
+            def counted(*a, **k):
+                counts["pf"] += 1
+                return orig(*a, **k)
+
+            slam.process_frame = counted
+            i = 0
+            chunk = 8
+            if chunked:
+                pairs = jnp.asarray(np.stack(
+                    [np.stack([l, r]) for l, r in
+                     zip(seq.images, seq.images_right)]
+                ).astype(np.float32))
+                while i < n and not slam._chunkable():
+                    slam.process_frame(
+                        seq.images[i], seq.images_right[i],
+                        float(seq.timestamps[i]),
+                    )
+                    i += 1
+                i_steady = i
+                while i + chunk <= n:
+                    slam.process_frames(
+                        (pairs, i), seq.timestamps[i : i + chunk]
+                    )
+                    i += chunk
+            else:
+                i_steady = n
+            while i < n:
+                slam.process_frame(
+                    seq.images[i], seq.images_right[i],
+                    float(seq.timestamps[i]),
+                )
+                i += 1
+            slam.flush()
+            return slam, i_steady, counts["pf"]
+
+        slam_c, i_steady, pf_calls = run(True)
+        slam_f, _, _ = run(False)
+        assert slam_c.state == OK
+        assert i_steady <= 24, f"chunk never engaged (steady at {i_steady})"
+        # The chunk actually processed most steady-state frames.
+        assert pf_calls - i_steady <= 8
+        assert slam_c.n_kf >= slam_f.n_kf - 2
+
+        def _metric_ate(slam):
+            ts = np.asarray([t for t, _ in slam.get_trajectory()])
+            est = np.stack([T[:3, 3] for _, T in slam.get_trajectory()])
+            rmse, nm, s = ate_rmse(
+                ts, est, seq.timestamps.astype(np.float64), seq.t_wc,
+                with_scale=False,
+            )
+            return rmse, nm
+
+        rmse_c, nm_c = _metric_ate(slam_c)
+        rmse_f, _ = _metric_ate(slam_f)
+        assert nm_c >= n - 8
+        assert rmse_c < max(0.08, 2.5 * rmse_f + 0.02), (
+            f"chunked stereo ATE {rmse_c:.4f} vs per-frame {rmse_f:.4f}"
+        )
+
+
 class TestRgbdPipeline:
     def test_e2e_metric_scale(self, stereo_seq):
         seq = stereo_seq

@@ -102,6 +102,82 @@ class TestVIChunk:
         # Metric scale survives the chunked path.
         assert abs(s_c - 1.0) < 0.10, f"chunked scale {s_c}"
 
+    def test_chunk_composes_with_loop_closing(self):
+        """The VI chunk loop must coexist with an attached LoopCloser:
+        closure checks run at chunk boundaries (the mono chunk's
+        composition, LoopClosing.cc:1108 role), a REAL closure fires on
+        the looping trajectory, and the chunked fraction of the steady
+        state stays high (the chunk gate must not permanently bail)."""
+        n = 160
+        seq, imu = synth.make_vi_sequence(
+            n_frames=n, height=240, width=376, frame_dt=0.1,
+            imu_per_frame=10, seed=0, bg=np.array([0.01, -0.015, 0.02]),
+            noise_g=1e-4, noise_a=1e-3, trajectory="loop",
+        )
+        slam = InertialSlam(
+            height=240, width=376, cam_params=seq.cam_params,
+            n_features=1200, max_keyframes=64, max_points=4096,
+            kf_every=3, ba_window=4, ba_fixed=2,
+            calib=make_calib(freq=100.0), init_after_kf=6,
+            enable_loop_closing=True,
+        )
+        counts = {"per_frame": 0}
+        orig_pf = slam.process_frame
+
+        def counted(*a, **k):
+            counts["per_frame"] += 1
+            return orig_pf(*a, **k)
+
+        slam.process_frame = counted
+        chunk = 8
+        stack = jnp.asarray(np.stack(seq.images).astype(np.float32))
+        i = 0
+        while i < n and not slam._vi_chunkable():
+            slam.process_frame(
+                seq.images[i], float(seq.timestamps[i]),
+                acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
+            )
+            i += 1
+        i_steady = i
+        while i + chunk <= n:
+            slam.process_frames(
+                (stack, i), seq.timestamps[i : i + chunk],
+                acc=imu["acc"][i : i + chunk],
+                gyro=imu["gyro"][i : i + chunk],
+                dts=imu["dts"][i : i + chunk],
+            )
+            i += chunk
+        while i < n:
+            slam.process_frame(
+                seq.images[i], float(seq.timestamps[i]),
+                acc=imu["acc"][i], gyro=imu["gyro"][i], dts=imu["dts"][i],
+            )
+            i += 1
+        slam.flush()
+        assert slam.state == OK
+        assert i_steady < 90, "steady chunking never reached"
+        # A real closure fired through the chunk-boundary path.
+        assert len(slam.loop_closer.closures) >= 1, "no closure fired"
+        # Chunked-frame fraction of the steady state: per-frame calls
+        # beyond the ladder are chunk bail-outs/dead-tail replays.
+        steady = n - i_steady
+        fallback = counts["per_frame"] - i_steady
+        assert fallback <= 0.5 * steady, (
+            f"chunk engaged on only {1 - fallback / steady:.0%} of the "
+            f"steady state"
+        )
+        traj = slam.get_trajectory()
+        assert len(traj) >= n - 12
+        ts = np.asarray([t for t, _ in traj])
+        est = np.stack([T[:3, 3] for _, T in traj])
+        rmse, nm, s = ate_rmse(
+            ts[12:], est[12:], seq.timestamps.astype(np.float64), seq.t_wc,
+            with_scale=True,
+        )
+        assert nm >= 100
+        assert rmse < 0.10, f"VI+LC chunked ATE {rmse:.4f}"
+        assert abs(s - 1.0) < 0.12, f"VI+LC chunked scale {s}"
+
     def test_host_kf_imu_mirror_synced(self, vi_seq):
         """The chunk's new keyframes must land their IMU edge blocks in
         the host kf_imu_* mirror (used by host-side VI solves and

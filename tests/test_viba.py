@@ -241,11 +241,8 @@ class TestPoseInertialOpt:
         return sim, k, pre, X, uv, valid, anchor
 
     def _no_prior(self):
-        z3 = jnp.zeros(3)
-        return dict(
-            prior_H=jnp.zeros((15, 15)), R_pr=jnp.eye(3), p_pr=z3,
-            v_pr=z3, bg_pr=z3, ba_pr=z3,
-        )
+        # Exact anchor (zero posterior covariance).
+        return dict(anc_Sigma=jnp.zeros((15, 15)))
 
     def test_converges_to_gt_from_imu_seed(self, rng):
         sim, k, pre, X, uv, valid, anc = self._setup(rng)
@@ -295,19 +292,41 @@ class TestPoseInertialOpt:
         np.testing.assert_allclose(np.asarray(res.R_wb), np.asarray(R0), atol=2e-2)
         np.testing.assert_allclose(np.asarray(res.p_wb), np.asarray(p0), atol=2e-2)
 
-    def test_strong_prior_dominates(self, rng):
+    def test_anchor_uncertainty_downweights_imu(self, rng):
+        """When the anchor state is WRONG but declared uncertain (large
+        anc_Sigma), the visual edges must win; with an exact anchor
+        (Sigma=0) the corrupted inertial edge drags the pose away from
+        the visual optimum. This balance is what the round-3 carried
+        prior got backwards (information compounded, visual support
+        decayed ~220 -> ~40 between keyframes)."""
         sim, k, pre, X, uv, valid, anc = self._setup(rng)
-        R_gt = jnp.asarray(sim["R_wb"][k + 1])
-        p_gt = jnp.asarray(sim["p_wb"][k + 1])
-        v_gt = jnp.asarray(sim["v_w"][k + 1])
-        res = viba.pose_inertial_optimization(
-            anc["R"], anc["p"], anc["v"], jnp.zeros(3), jnp.zeros(3),
-            jnp.asarray(X), jnp.asarray(uv), jnp.ones(len(X)),
-            jnp.zeros(len(X), bool),
-            anc["R"], anc["p"], anc["v"], anc["bg"], anc["ba"], pre,
-            prior_H=jnp.eye(15) * 1e8, R_pr=R_gt, p_pr=p_gt, v_pr=v_gt,
-            bg_pr=jnp.zeros(3), ba_pr=jnp.zeros(3),
-            cam_params=jnp.asarray(CAM), R_bc=jnp.eye(3), t_bc=jnp.zeros(3),
-        )
-        np.testing.assert_allclose(np.asarray(res.p_wb), np.asarray(p_gt), atol=5e-3)
-        np.testing.assert_allclose(np.asarray(res.R_wb), np.asarray(R_gt), atol=5e-3)
+        R_gt = sim["R_wb"][k + 1]
+        p_gt = sim["p_wb"][k + 1]
+        # Corrupt the anchor by 0.3 m — the inertial edge now pulls the
+        # frame toward a wrong prediction.
+        p_anc_bad = anc["p"] + jnp.asarray([0.3, 0.0, 0.0])
+
+        def solve(Sigma):
+            return viba.pose_inertial_optimization(
+                jnp.asarray(R_gt), jnp.asarray(p_gt),
+                jnp.asarray(sim["v_w"][k + 1]), jnp.zeros(3), jnp.zeros(3),
+                jnp.asarray(X), jnp.asarray(uv), jnp.ones(len(X)),
+                jnp.asarray(valid),
+                anc["R"], p_anc_bad, anc["v"], anc["bg"], anc["ba"], pre,
+                anc_Sigma=Sigma,
+                cam_params=jnp.asarray(CAM), R_bc=jnp.eye(3),
+                t_bc=jnp.zeros(3),
+            )
+
+        res_exact = solve(jnp.zeros((15, 15)))
+        res_unc = solve(jnp.eye(15) * 1.0)
+        err_exact = float(jnp.linalg.norm(res_exact.p_wb - jnp.asarray(p_gt)))
+        err_unc = float(jnp.linalg.norm(res_unc.p_wb - jnp.asarray(p_gt)))
+        # Uncertain anchor -> visual evidence dominates -> stays at GT.
+        assert err_unc < 0.02, err_unc
+        # Exact (but wrong) anchor -> inertial edge pulls the pose off.
+        assert err_exact > 2.0 * max(err_unc, 5e-3), (err_exact, err_unc)
+        # Posterior covariance reported and PSD.
+        S = np.asarray(res_unc.Sigma)
+        np.testing.assert_allclose(S, S.T, rtol=1e-3, atol=1e-4)
+        assert np.all(np.linalg.eigvalsh(S) > -1e-4)
