@@ -170,22 +170,36 @@ def make_chunk_runner(
             )
         return m, n_new
 
-    def step(c: LoopCarry, x):
-        img, ts, fid = x
-        # uint8 frames (real camera format) upload at 1/4 the f32 bytes;
-        # extraction math is f32 either way.
+    def _prep_stereo(pair):
+        """Per-frame extraction + stereo correspondence (vmapped over
+        the chunk before the scan — batched kernels use the MXU far
+        better than sequential per-frame extracts)."""
+        il = pair[0].astype(jnp.float32)
+        ir = pair[1].astype(jnp.float32)
+        fl = orb.extract(il, config)
+        fr = orb.extract(ir, config)
+        sm = stereo_ops.match_stereo(
+            fl, fr, il, ir, fx=fx, baseline=baseline
+        )
+        return (fl, jnp.where(sm.valid, sm.u_right, -1.0),
+                jnp.where(sm.valid, sm.depth, -1.0))
+
+    def _prep_xs(imgs, tss, fids):
+        """Batched pre-extraction for a chunk: scan xs from raw frames
+        (uint8 frames upload at 1/4 the f32 bytes; math is f32)."""
         if stereo:
-            il = img[0].astype(jnp.float32)
-            ir = img[1].astype(jnp.float32)
-            feats = orb.extract(il, config)
-            feats_r = orb.extract(ir, config)
-            sm = stereo_ops.match_stereo(
-                feats, feats_r, il, ir, fx=fx, baseline=baseline
-            )
-            ur = jnp.where(sm.valid, sm.u_right, -1.0)
-            depth = jnp.where(sm.valid, sm.depth, -1.0)
+            feats_all, ur_all, depth_all = jax.vmap(_prep_stereo)(imgs)
+            return (feats_all, ur_all, depth_all, tss, fids)
+        feats_all = jax.vmap(
+            lambda im: orb.extract(im.astype(jnp.float32), config)
+        )(imgs)
+        return (feats_all, tss, fids)
+
+    def step(c: LoopCarry, x):
+        if stereo:
+            feats, ur, depth, ts, fid = x
         else:
-            feats = orb.extract(img.astype(jnp.float32), config)
+            feats, ts, fid = x
             ur = depth = None
         R_pred = c.vel_R @ c.R
         t_pred = c.vel_R @ c.t + c.vel_t
@@ -259,7 +273,7 @@ def make_chunk_runner(
 
     @jax.jit
     def run_chunk(carry: LoopCarry, imgs, tss, fids):
-        return jax.lax.scan(step, carry, (imgs, tss, fids))
+        return jax.lax.scan(step, carry, _prep_xs(imgs, tss, fids))
 
     def _carry_from_packed(m, pk):
         return LoopCarry(
@@ -285,7 +299,7 @@ def make_chunk_runner(
         tss = pk[30 : 30 + chunk]
         imgs = jax.lax.dynamic_slice_in_dim(frames, off, chunk)
         fids = fid0 + jnp.arange(chunk, dtype=jnp.int32)
-        carry2, outs = jax.lax.scan(step, carry, (imgs, tss, fids))
+        carry2, outs = jax.lax.scan(step, carry, _prep_xs(imgs, tss, fids))
         return carry2.m, pack_chunk_result(outs, carry2)
 
     run_chunk.packed = run_chunk_packed

@@ -757,7 +757,18 @@ class InertialSlam(MonoSlam):
             if bool(outs["is_kf"][i]) and bool(outs["alive"][i])
         ]
         moved = False
-        if self.loop_closer is not None:
+        last_slot = self.n_kf - 1
+        if self.loop_closer is not None and new_kf_slots:
+            # Snapshot the newest KF's pre-correction pose: on a fired
+            # closure the whole map moves, and the end-of-chunk tracker
+            # pose (several frames PAST that KF) must be re-anchored
+            # through it — snapping to the KF pose itself would hand the
+            # next chunk a stale IMU-prediction anchor.
+            R_kf_old, t_kf_old = (
+                np.asarray(a) for a in jax.device_get(
+                    (self.map.kf_R[last_slot], self.map.kf_t[last_slot])
+                )
+            )
             for kf_id in new_kf_slots:
                 self.key, sub = jax.random.split(self.key)
                 if self.loop_closer.try_close(self, kf_id, sub):
@@ -771,11 +782,36 @@ class InertialSlam(MonoSlam):
             self._freeze_rel_traj()
             if self.atlas.merge_current_into(self, 0, sub):
                 moved = True
+                R_kf_old = t_kf_old = None  # weld may remap slots
         if moved:
             self._vi_dev_state = None
             self._vi_anchor = None
             self._vi_prior = None
-            self._sync_host_state()
+            buf = np.asarray(jax.device_get(
+                _pack_kf_state(self.map, self.n_kf - 1)
+            ))
+            self.bg_cur = buf[3:6].copy()
+            self.ba_cur = buf[6:9].copy()
+            R_kf_new = buf[9:18].reshape(3, 3)
+            t_kf_new = buf[18:21]
+            if R_kf_old is not None and self.n_kf - 1 == last_slot:
+                # Re-anchor the end-of-chunk pose through the corrected
+                # keyframe: T_cur' = (T_cur o T_kf_old^-1) o T_kf_new,
+                # and rotate the world-frame velocity by the same
+                # correction (CorrectLoop's velocity update).
+                R_rel = self.R_cur @ R_kf_old.T
+                t_rel = self.t_cur - R_rel @ t_kf_old
+                self.R_cur = np.asarray(R_rel @ R_kf_new, np.float32)
+                self.t_cur = np.asarray(R_rel @ t_kf_new + t_rel, np.float32)
+                Rcor = R_kf_new.T @ R_kf_old
+                self.v_cur = np.asarray(Rcor @ self.v_cur, np.float32)
+            else:
+                self.R_cur = np.asarray(R_kf_new, np.float32)
+                self.t_cur = np.asarray(t_kf_new, np.float32)
+                self.v_cur = buf[0:3].copy()
+                self._set_ref_cache(self.n_kf - 1, R_kf_new, t_kf_new)
+            self.vel_R = np.eye(3, dtype=np.float32)
+            self.vel_t = np.zeros(3, np.float32)
             if self._check_bad_imu():
                 return
         if not sc["alive"]:
@@ -1188,7 +1224,15 @@ class InertialSlam(MonoSlam):
             super()._run_local_ba(n_iters)
 
     def _build_full_vi_problem(self):
-        """Assemble the all-keyframe VI problem (only KF0's pose fixed)."""
+        """Assemble the all-keyframe VI problem (only KF0's pose fixed).
+
+        Exact-n shape: callers are the IMU-init ladder's gravity/scale
+        solves, which run at a BOUNDED set of keyframe counts
+        (init_after_kf + fixed offsets), so compile count stays small —
+        and the GS solver's gravity/scale estimate measurably shifts
+        (~4% scale on the e2e) under heavy padded duplication, unlike
+        the plain VI-BA. The repeated post-closure full inertial BA
+        (unbounded n) instead pads to K_cap in _run_vi_ba."""
         n = self.n_kf
         ids = list(range(n))
         fixed = [i == 0 for i in ids]
@@ -1290,7 +1334,11 @@ class InertialSlam(MonoSlam):
             fixed = [i == 0 or i < last - self.ba_window for i in ids]
         if all(fixed):
             return
+        # Beyond-window solves (the post-closure full inertial BA) pad
+        # to K_cap — ONE compiled shape; see _build_full_vi_problem.
         W_eff = max(self.W, len(ids))
+        if W_eff > self.W:
+            W_eff = self.K_cap
         pad = W_eff - len(ids)
         edge_ok = [
             ids[i + 1] not in self.chain_breaks for i in range(len(ids) - 1)

@@ -239,7 +239,15 @@ def make_vi_chunk_runner(
         return m, st2, n_new
 
     def step(c: VICarry, x):
-        img, ts, fid, imu = x  # imu [M,7] = acc|gyro|dt, front-packed
+        # Features (and stereo ur/depth) are PRE-extracted for the whole
+        # chunk in one vmapped program before the scan — batched
+        # pyramid/FAST/descriptor kernels use the MXU far better than
+        # 15 sequential per-frame extracts.
+        if stereo:
+            feats, ur, depth, ts, fid, imu = x
+        else:
+            feats, ts, fid, imu = x
+            ur = depth = None
         a, g, d = imu[:, 0:3], imu[:, 3:6], imu[:, 6]
         st = c.st
         # Append this frame's samples to the since-last-KF block.
@@ -254,19 +262,6 @@ def make_vi_chunk_runner(
         pre = imu_ops.preintegrate(a, g, d, b, calib)
         R2, p2, v2 = imu_ops.predict_state(st.R_wb, st.p_wb, st.v, b, pre)
         R_pred, t_pred = viba.cam_from_body(R2, p2, calib.R_bc, calib.t_bc)
-        if stereo:
-            il = img[0].astype(jnp.float32)
-            ir = img[1].astype(jnp.float32)
-            feats = orb.extract(il, config)
-            feats_r = orb.extract(ir, config)
-            sm = stereo_ops.match_stereo(
-                feats, feats_r, il, ir, fx=fx, baseline=baseline
-            )
-            ur = jnp.where(sm.valid, sm.u_right, -1.0)
-            depth = jnp.where(sm.valid, sm.depth, -1.0)
-        else:
-            feats = orb.extract(img.astype(jnp.float32), config)
-            ur = depth = None
         res = tracking.track_against_map(
             c.m, feats, R_pred, t_pred, cam_params, width, height,
             schedule=schedule, track_cap=track_cap, cam_model=cam_model,
@@ -358,7 +353,27 @@ def make_vi_chunk_runner(
         imu = pk[6 + chunk : 6 + chunk + chunk * M * 7].reshape(chunk, M, 7)
         imgs = jax.lax.dynamic_slice_in_dim(frames, off, chunk)
         fids = fid0 + jnp.arange(chunk, dtype=jnp.int32)
-        carry2, outs = jax.lax.scan(step, carry, (imgs, tss, fids, imu))
+        # Batched pre-extraction (see step docstring).
+        if stereo:
+            def _prep(pair):
+                il = pair[0].astype(jnp.float32)
+                ir = pair[1].astype(jnp.float32)
+                fl = orb.extract(il, config)
+                fr = orb.extract(ir, config)
+                sm = stereo_ops.match_stereo(
+                    fl, fr, il, ir, fx=fx, baseline=baseline
+                )
+                return (fl, jnp.where(sm.valid, sm.u_right, -1.0),
+                        jnp.where(sm.valid, sm.depth, -1.0))
+
+            feats_all, ur_all, depth_all = jax.vmap(_prep)(imgs)
+            xs = (feats_all, ur_all, depth_all, tss, fids, imu)
+        else:
+            feats_all = jax.vmap(
+                lambda im: orb.extract(im.astype(jnp.float32), config)
+            )(imgs)
+            xs = (feats_all, tss, fids, imu)
+        carry2, outs = jax.lax.scan(step, carry, xs)
         # Scalar pose from the carried body state, not the last frame's
         # visual result: on a mid-chunk collapse the dead tail's failed
         # refine would otherwise seed the host RECENTLY_LOST anchor.

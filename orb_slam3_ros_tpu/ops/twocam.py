@@ -47,10 +47,17 @@ def triangulate_cross_camera(
     cam_model: str = "kb8",
     scale: float = 1.2,
     max_dist: int = hamming.TH_LOW,
+    max_level: int = 2,
 ) -> CrossCamTriangulation:
     """ComputeStereoFishEyeMatches: descriptor match left<->right, DLT
     triangulation of the bearing pair, cheirality + reprojection gates in
-    BOTH views (Frame.cc:1126-1227)."""
+    BOTH views (Frame.cc:1126-1227).
+
+    ``max_level``: triangulate only fine-pyramid features. Coarse-level
+    keypoints carry ~2^level px position noise against a few-px
+    disparity; the positivity/chi2 gates then preferentially keep the
+    larger-disparity (too-shallow) side of the noise distribution and
+    the map converges 15-25% under metric scale (measured)."""
     idx, dist = matching.search_frame_frame(
         f_left, f_right, max_dist=max_dist, ratio=0.8
     )
@@ -78,6 +85,8 @@ def triangulate_cross_camera(
     sig2_r = scale ** (2.0 * f_right.level[ridx].astype(jnp.float32))
     ok = (
         matched
+        & (f_left.level <= max_level)
+        & (f_right.level[ridx] <= max_level)
         & jnp.all(jnp.isfinite(X_l), axis=-1)
         & (X_l[:, 2] > 0.02)
         & (X_r[:, 2] > 0.02)

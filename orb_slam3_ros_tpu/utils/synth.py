@@ -275,6 +275,30 @@ def loop_trajectory(n_frames: int, dt: float = 0.1, radius: float = 1.2):
     return np.asarray(Rs, np.float32), pos.astype(np.float32), t
 
 
+def multiloop_trajectory(n_frames: int, dt: float = 0.1,
+                         radius: float = 1.2, revs: int = 3):
+    """Multi-revolution circular trajectory: ``revs`` full orbits of the
+    room looking outward, with slow vertical/radial modulation so the
+    revisits are close but not identical — the long-sequence soak case
+    (every revolution re-observes the first one's views, so a loop
+    closure can fire per revolution)."""
+    t = np.arange(n_frames) * dt
+    th = 2 * np.pi * revs * np.arange(n_frames) / (n_frames - 6)
+    r = radius * (1.0 + 0.04 * np.sin(0.07 * t))
+    px = r * np.cos(th)
+    py = r * np.sin(th)
+    pz = 0.12 * np.sin(2 * th) + 0.05 * np.sin(0.11 * t)
+    pos = np.stack([px, py, pz], axis=-1)
+    Rs = []
+    for i in range(n_frames):
+        z = np.array([np.cos(th[i]), np.sin(th[i]), 0.0])  # look outward
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(z, up); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rs.append(np.stack([x, y, z], axis=-1))
+    return np.asarray(Rs, np.float32), pos.astype(np.float32), t
+
+
 class SynthSequence(NamedTuple):
     images: np.ndarray  # [N, H, W] f32
     R_wc: np.ndarray  # [N, 3, 3]
@@ -339,6 +363,8 @@ def _make_sequence_impl(
     )
     if trajectory == "loop":
         R_wc, t_wc, ts = loop_trajectory(n_frames, dt=dt)
+    elif trajectory == "multiloop":
+        R_wc, t_wc, ts = multiloop_trajectory(n_frames, dt=dt)
     else:
         R_wc, t_wc, ts = orbit_trajectory(n_frames, dt=dt, seed=seed)
     imgs, deps, imgs_r = [], [], []

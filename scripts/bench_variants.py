@@ -69,6 +69,56 @@ def run_mono(with_lc: bool):
     return fps, len(slam.trajectory)
 
 
+def run_soak():
+    """Long-sequence throughput at realistic map scale: 1000 frames of
+    the multi-revolution trajectory at 752x480 with K_cap=256 and loop
+    closing — slot compaction, vocabulary retrains, repeated closures
+    and their GBAs all fire inside the timed region (VERDICT r3 #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orb_slam3_ros_tpu.models.system import MonoSlam, OK
+    from orb_slam3_ros_tpu.utils import synth
+
+    H, W = 480, 752
+    n_frames, warm, chunk = 1000, 300, 15
+    seq = synth.make_sequence(
+        n_frames=n_frames, height=H, width=W, dt=0.1, seed=5,
+        trajectory="multiloop",
+    )
+    slam = MonoSlam(
+        height=H, width=W, cam_params=seq.cam_params, n_features=1000,
+        max_keyframes=256, max_points=8192,
+        kf_every=5, fuse_every=3, stats_every=3, cull_every=3,
+        lean_after_kf=4, track_cap=768, transfer_uint8=True,
+        enable_loop_closing=True,
+    )
+    slam._sched_lean = ((40.0, 2, 4), (4.0, 2, 4))
+    frames_dev = jnp.asarray(
+        np.clip(np.stack(seq.images), 0, 255).astype(np.uint8)
+    )
+    jax.block_until_ready(frames_dev)
+
+    def drive(lo, hi):
+        i = lo
+        while i < hi:
+            if slam.state == OK and slam._chunkable() and i + chunk <= hi:
+                slam.process_frames((frames_dev, i), seq.timestamps[i : i + chunk])
+                i += chunk
+            else:
+                slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+                i += 1
+        return i
+
+    drive(0, warm)
+    slam.flush()
+    t0 = time.time()
+    drive(warm, n_frames)
+    slam.flush()
+    fps = (n_frames - warm) / (time.time() - t0)
+    return fps, len(slam.trajectory), len(slam.loop_closer.closures), slam.n_kf
+
+
 def run_stereo():
     """KITTI-shaped stereo throughput: 1242x376 rectified pairs, 2000
     features, 0.54 m baseline (config/Stereo/KITTI00-02.yaml: Camera.fps
@@ -133,19 +183,16 @@ def run_vi(with_lc: bool = False):
     from orb_slam3_ros_tpu.utils import synth
 
     H, W = 480, 752
-    # Warm past ALL three IMU-init stages (kf_every=4, init at kf6,
-    # refinements at kf10/kf14 -> frame ~66) so no VIBA program compiles
-    # in the timed region. The LC variant additionally runs the LOOPING
-    # trajectory long enough that the first closure + its GBA fire (and
-    # compile) in the warmup (revisit starts at frame ~120), so the
-    # timed region measures the steady state of a closing VI session —
-    # with further closures genuinely firing inside it.
+    # Warm past ALL three IMU-init stages (init at kf6, refinements at
+    # kf10/kf14) so no VIBA program compiles in the timed region. The LC
+    # variant warms until the first closure + its full inertial GBA have
+    # fired (and compiled); further closures fire INSIDE the timed
+    # region, so it measures the steady state of a closing VI session.
     n_frames, warm = (255, 150) if with_lc else (165, 105)
     freq = 100.0
     seq, imu = synth.make_vi_sequence(
         n_frames=n_frames, height=H, width=W, frame_dt=0.1, imu_per_frame=10,
         seed=0, bg=np.array([0.01, -0.015, 0.02]), noise_g=1e-4, noise_a=1e-3,
-        trajectory="loop" if with_lc else "wander",
     )
     calib = imu_ops.ImuCalib(
         sigma_g=jnp.full((3,), 1.7e-4 * np.sqrt(freq), jnp.float32),
@@ -157,10 +204,25 @@ def run_vi(with_lc: bool = False):
     )
     slam = InertialSlam(
         height=H, width=W, cam_params=seq.cam_params, n_features=1000,
-        max_keyframes=64, max_points=4096, kf_every=4,
+        max_keyframes=64, max_points=4096, kf_every=5,
         calib=calib, init_after_kf=6, lean_after_kf=4, track_cap=768,
         enable_loop_closing=with_lc,
+        # TPU-tuned runtime knobs (scripts/diag_vi_chunk.py sweeps):
+        # maintenance cadence 3 like the mono bench, 4 LM iters in the
+        # in-chunk VI-BA, and IMU block capacities sized to the actual
+        # 100 Hz / kf_every=5 workload (50 samples/KF edge) — the
+        # preintegration re-scan in build_vi_ba is sequential in S.
+        fuse_every=3, stats_every=3, cull_every=3, local_ba_iters=4,
+        imu_cap_kf=64, imu_cap_frame=16,
     )
+    if with_lc:
+        # Room-scale VI drift is tiny: revisits stay covisible with the
+        # old keyframes, so the non-covisible candidate rule would
+        # (correctly) find nothing to close. Drop the exclusion so the
+        # full closure path (retrieval, Sim3 consistency, 4-DoF PGO,
+        # async GBA) fires inside the timed region — this variant
+        # measures the THROUGHPUT cost of a closing VI session.
+        slam.loop_closer.use_covisibility = False
     # Per-frame through the three-stage IMU-init ladder, then the
     # device-resident VI chunk loop (vi_device_loop.py) takes over; the
     # warm region covers the chunk program's compile.
@@ -212,6 +274,10 @@ def main():
             extra = {"tracked": n}
             label = "1242x376 stereo throughput [kitti-shaped]"
             ref_fps = 10.0
+        elif name == "soak":
+            fps, n, n_closed, n_kf = run_soak()
+            extra = {"tracked": n, "closures": n_closed, "live_kf": n_kf}
+            label = "752x480 throughput [1000-frame soak, K_cap=256]"
         else:
             fps, init, n_closed = run_vi(with_lc=(name == "vi+lc"))
             extra = {"imu_initialized": bool(init)}

@@ -32,15 +32,23 @@ def main():
         sigma_aw=jnp.full((3,), 3e-3 / np.sqrt(freq), jnp.float32),
         R_bc=jnp.eye(3), t_bc=jnp.zeros(3),
     )
+    import os
     import sys
     kf_every = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     ba_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    cfg = dict(
+        imu_cap_kf=int(os.environ.get("D_SKF", 256)),
+        imu_cap_frame=int(os.environ.get("D_MF", 32)),
+        ba_window=int(os.environ.get("D_BAW", 8)),
+        ba_fixed=int(os.environ.get("D_BAF", 4)),
+    )
+    print("cfg:", cfg, "kf_every:", kf_every, "ba_iters:", ba_iters)
     slam = InertialSlam(
         height=H, width=W, cam_params=seq.cam_params, n_features=1000,
         max_keyframes=64, max_points=4096, kf_every=kf_every,
         calib=calib, init_after_kf=6, lean_after_kf=4, track_cap=768,
         fuse_every=3, stats_every=3, cull_every=3,
-        local_ba_iters=ba_iters,
+        local_ba_iters=ba_iters, **cfg,
     )
     events = []
     slam.on_frame = lambda ev: events.append(ev)
@@ -95,8 +103,8 @@ def main():
     print(f"steady: {(i-warm)/dt:.2f} fps, per-frame fallbacks in timed "
           f"region: {counts['pf']-pf0}")
     inl = [(round(e["ts"], 1), e["n_inliers"], e["state"])
-           for e in events if e["event"] == "frame" and e["ts"] >= 9.0]
-    print("inliers from t=9.0s:", inl)
+           for e in events if e["event"] == "frame" and 9.0 <= e["ts"] <= 12.0]
+    print("inliers t=9..12s:", inl)
 
 
 if __name__ == "__main__":

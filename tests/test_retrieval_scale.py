@@ -78,6 +78,90 @@ class TestHierVocabulary:
             (same_h, cross_h), (same_f, cross_f)
         )
 
+
+@pytest.mark.slow
+class TestThresholdCalibration:
+    """Data-driven calibration of the loop-closer's ``min_score``
+    (VERDICT r3 #9): across several aliased scene pairs and a corridor
+    revisit, the default must sit INSIDE the separation band — above
+    every false-place score (zero false candidates) and below the true
+    revisit scores (true revisits retained). The reference gates
+    candidates relative to the covisible-neighbor minimum score
+    (KeyFrameDatabase.cc:604-733); this fixed-threshold calibration is
+    the equivalent guard for the per-session-trained vocabulary."""
+
+    DEFAULT_MIN_SCORE = 0.15  # models/loop_closing.py LoopCloser default
+
+    def test_min_score_inside_separation_band(self):
+        cfg = orb.default_config(240, 376, n_features=600)
+        ext = jax.jit(lambda im: orb.extract(im, cfg))
+
+        def descs(seed, n=12, trajectory="orbit"):
+            seq = synth.make_sequence(
+                n_frames=n, height=240, width=376, dt=0.1, seed=seed,
+                trajectory=trajectory,
+            )
+            out = []
+            for im in seq.images:
+                f = ext(jnp.asarray(im, jnp.float32))
+                out.append((np.asarray(f.desc_sign), np.asarray(f.valid)))
+            return out
+
+        # Three aliased pairs (same trajectory, different room textures)
+        # + one long corridor-style revisit (loop trajectory: the end
+        # re-observes the start).
+        pairs = [(3, 11), (5, 17), (7, 23)]
+        rooms = {s: descs(s) for s in {x for p in pairs for x in p}}
+        corridor = descs(31, n=40, trajectory="loop")
+
+        true_scores, false_scores = [], []
+        for sa, sb in pairs:
+            ra, rb = rooms[sa], rooms[sb]
+            train = np.concatenate(
+                [d[v] for d, v in ra[:6]] + [d[v] for d, v in rb[:6]]
+            )
+            vocab = jnp.asarray(
+                retrieval.train_vocabulary_hier(train, n_words=2048)
+            )
+
+            def sig(d, v):
+                return np.asarray(retrieval.signature(
+                    jnp.asarray(d), jnp.asarray(v), vocab
+                ))
+
+            siga = [sig(d, v) for d, v in ra]
+            sigb = [sig(d, v) for d, v in rb]
+            q = siga[-1]  # late room-A frame
+            # True revisit: early same-room frames (enforce temporal gap).
+            true_scores.append(max(float(q @ s) for s in siga[:6]))
+            # False places: every other-room frame.
+            false_scores.append(max(float(q @ s) for s in sigb))
+        # Corridor: end-of-loop frame vs its genuine revisit at the start
+        # AND vs the (different-looking) middle section.
+        train = np.concatenate([d[v] for d, v in corridor[::4]])
+        vocab = jnp.asarray(
+            retrieval.train_vocabulary_hier(train, n_words=2048)
+        )
+
+        def sig(d, v):
+            return np.asarray(retrieval.signature(
+                jnp.asarray(d), jnp.asarray(v), vocab
+            ))
+
+        sigs = [sig(d, v) for d, v in corridor]
+        q = sigs[-1]
+        true_scores.append(max(float(q @ s) for s in sigs[:5]))
+
+        lo = max(false_scores)  # must stay BELOW threshold
+        hi = min(true_scores)  # must stay ABOVE threshold
+        assert lo < hi, (
+            f"no separation band: false up to {lo:.3f}, true down to {hi:.3f}"
+        )
+        assert lo < self.DEFAULT_MIN_SCORE < hi, (
+            f"min_score=0.15 outside data band ({lo:.3f}, {hi:.3f}) — "
+            f"recalibrate LoopCloser.min_score"
+        )
+
     def test_no_cross_room_candidates(self, two_rooms):
         """detect_candidates with the closure-time score bar must yield
         ZERO candidates from the other room for every query frame, while
