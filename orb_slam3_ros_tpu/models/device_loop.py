@@ -79,6 +79,7 @@ def make_chunk_runner(
     baseline: float = 0.0,
     max_depth: float = 0.0,
     stereo: bool = False,
+    track_window: int | None = None,
 ):
     """Build the jitted chunk program for one pipeline geometry.
 
@@ -184,9 +185,22 @@ def make_chunk_runner(
         return (fl, jnp.where(sm.valid, sm.u_right, -1.0),
                 jnp.where(sm.valid, sm.depth, -1.0))
 
+    import os as _os
+
+    # Extraction INSIDE the scan step by default: the vmapped
+    # whole-chunk pre-extraction looked like a batching win but measures
+    # 25% SLOWER end to end on the v5e (51 vs 67 fps plain mono at
+    # 752x480x15 — the batched pyramid/patch gathers overflow VMEM and
+    # spill to HBM, while the per-frame extract tiles cleanly).
+    batch_extract = _os.environ.get("ORB_BATCH_EXTRACT", "0") != "0"
+
     def _prep_xs(imgs, tss, fids):
         """Batched pre-extraction for a chunk: scan xs from raw frames
-        (uint8 frames upload at 1/4 the f32 bytes; math is f32)."""
+        (uint8 frames upload at 1/4 the f32 bytes; math is f32).
+        ``ORB_BATCH_EXTRACT=1`` hoists extraction out of the scan as one
+        vmapped program (A/B knob; measured slower, see above)."""
+        if not batch_extract:
+            return (imgs, tss, fids)
         if stereo:
             feats_all, ur_all, depth_all = jax.vmap(_prep_stereo)(imgs)
             return (feats_all, ur_all, depth_all, tss, fids)
@@ -196,16 +210,30 @@ def make_chunk_runner(
         return (feats_all, tss, fids)
 
     def step(c: LoopCarry, x):
-        if stereo:
+        if not batch_extract:
+            img, ts, fid = x
+            if stereo:
+                feats, ur, depth = _prep_stereo(img)
+            else:
+                feats = orb.extract(img.astype(jnp.float32), config)
+                ur = depth = None
+        elif stereo:
             feats, ur, depth, ts, fid = x
         else:
             feats, ts, fid = x
             ur = depth = None
         R_pred = c.vel_R @ c.R
         t_pred = c.vel_R @ c.t + c.vel_t
+        # Sliding-window tracking (only recent keyframes' landmarks)
+        # computed on device — lets window-limited sessions (genuine
+        # odometry drift + real loop closures) ride the chunk loop.
+        pt_mask = None
+        if track_window is not None:
+            pt_mask = c.m.pt_first_kf >= (c.n_kf - track_window)
         res = tracking.track_against_map(
             c.m, feats, R_pred, t_pred, cam_params, width, height,
             schedule=schedule, track_cap=track_cap, cam_model=cam_model,
+            pt_mask=pt_mask,
         )
         if stereo:
             # Stereo refinement over mixed (u, v, u_r) edges — the

@@ -480,7 +480,7 @@ def _detect_candidates_fused(
 class LoopCloser:
     """Host-side loop detection/correction orchestrator."""
 
-    def __init__(self, min_gap: int = 10, min_score: float = 0.15,
+    def __init__(self, min_gap: int = 10, min_score: float = 0.30,
                  min_sim3_inliers: int = 20, use_covisibility: bool = True,
                  four_dof: bool = False, dump_dir: str | None = None,
                  run_gba: bool = True, gba_iters: int = 8,

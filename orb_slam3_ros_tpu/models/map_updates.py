@@ -34,11 +34,25 @@ def dedup_obs_rows(kf_obs: jnp.ndarray, changed: jnp.ndarray, P: int):
     common winner would leave two features bound to one landmark and the
     min-slot gather would silently drop one (measured: mono-inertial
     scale error 2.7% -> 5.4%).
+
+    Two formulations (map_state.use_dense_gathers): a [K,P] scatter-min
+    (fast on CPU) and a fused [K,N,N] broadcast-compare + reduce (TPU —
+    XLA serializes the ~80k-element scatter, which cost the mono chunk
+    ~45% of its throughput when this ran scatter-formulated).
     """
     K, N = kf_obs.shape
     cols = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (K, N))
-    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
     prio = cols + N * changed.astype(jnp.int32)
+    if use_dense_gathers():
+        valid = kf_obs >= 0
+        same = (
+            (kf_obs[:, :, None] == kf_obs[:, None, :])
+            & valid[:, :, None] & valid[:, None, :]
+        )  # [K,N,N]
+        better = same & (prio[:, None, :] < prio[:, :, None])
+        keep = ~jnp.any(better, axis=-1)
+        return jnp.where(keep | ~valid, kf_obs, -1)
+    rows = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, N))
     val = jnp.where(kf_obs >= 0, kf_obs, P)  # invalid -> spill slot
     best = jnp.full((K, P + 1), 2 * N, jnp.int32).at[rows, val].min(prio)
     keep = (kf_obs < 0) | (prio == best[rows, jnp.minimum(val, P)])

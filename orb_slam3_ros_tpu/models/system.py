@@ -674,6 +674,7 @@ class MonoSlam:
                 baseline=float(getattr(self, "baseline", 0.0)),
                 max_depth=float(getattr(self, "max_depth", 0.0)),
                 stereo=self._chunk_stereo(),
+                track_window=self.track_window,
             )
             self._chunk_run = r
         return r
@@ -699,7 +700,8 @@ class MonoSlam:
             # propagation (exactly the reference's GBA-vs-tracking
             # concurrency, LoopClosing.cc:3660-3780); chunks poll the
             # solve at their boundaries.
-            and self.track_window is None
+            # track_window no longer blocks chunking: the chunk step
+            # derives the sliding-window point mask on device.
             and self.track_dev is None  # chunk fuses track+map: no 2-chip split
             # Mono KF bodies build bf=0 BA rows; the stereo chunk builds
             # (u,v,u_r) rows and lifts the restriction.

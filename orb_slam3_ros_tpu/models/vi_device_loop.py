@@ -238,12 +238,35 @@ def make_vi_chunk_runner(
         )
         return m, st2, n_new
 
-    def step(c: VICarry, x):
-        # Features (and stereo ur/depth) are PRE-extracted for the whole
-        # chunk in one vmapped program before the scan — batched
-        # pyramid/FAST/descriptor kernels use the MXU far better than
-        # 15 sequential per-frame extracts.
+    import os as _os
+
+    # In-step extraction by default — the vmapped whole-chunk
+    # pre-extraction measures ~25% slower end to end (batched pyramid /
+    # patch gathers spill VMEM; see device_loop.py).
+    batch_extract = _os.environ.get("ORB_BATCH_EXTRACT", "0") != "0"
+
+    def _prep_one(img):
         if stereo:
+            il = img[0].astype(jnp.float32)
+            ir = img[1].astype(jnp.float32)
+            fl = orb.extract(il, config)
+            fr = orb.extract(ir, config)
+            sm = stereo_ops.match_stereo(
+                fl, fr, il, ir, fx=fx, baseline=baseline
+            )
+            return (fl, jnp.where(sm.valid, sm.u_right, -1.0),
+                    jnp.where(sm.valid, sm.depth, -1.0))
+        return orb.extract(img.astype(jnp.float32), config)
+
+    def step(c: VICarry, x):
+        if not batch_extract:
+            img, ts, fid, imu = x
+            if stereo:
+                feats, ur, depth = _prep_one(img)
+            else:
+                feats = _prep_one(img)
+                ur = depth = None
+        elif stereo:
             feats, ur, depth, ts, fid, imu = x
         else:
             feats, ts, fid, imu = x
@@ -353,25 +376,13 @@ def make_vi_chunk_runner(
         imu = pk[6 + chunk : 6 + chunk + chunk * M * 7].reshape(chunk, M, 7)
         imgs = jax.lax.dynamic_slice_in_dim(frames, off, chunk)
         fids = fid0 + jnp.arange(chunk, dtype=jnp.int32)
-        # Batched pre-extraction (see step docstring).
-        if stereo:
-            def _prep(pair):
-                il = pair[0].astype(jnp.float32)
-                ir = pair[1].astype(jnp.float32)
-                fl = orb.extract(il, config)
-                fr = orb.extract(ir, config)
-                sm = stereo_ops.match_stereo(
-                    fl, fr, il, ir, fx=fx, baseline=baseline
-                )
-                return (fl, jnp.where(sm.valid, sm.u_right, -1.0),
-                        jnp.where(sm.valid, sm.depth, -1.0))
-
-            feats_all, ur_all, depth_all = jax.vmap(_prep)(imgs)
+        if not batch_extract:
+            xs = (imgs, tss, fids, imu)
+        elif stereo:
+            feats_all, ur_all, depth_all = jax.vmap(_prep_one)(imgs)
             xs = (feats_all, ur_all, depth_all, tss, fids, imu)
         else:
-            feats_all = jax.vmap(
-                lambda im: orb.extract(im.astype(jnp.float32), config)
-            )(imgs)
+            feats_all = jax.vmap(_prep_one)(imgs)
             xs = (feats_all, tss, fids, imu)
         carry2, outs = jax.lax.scan(step, carry, xs)
         # Scalar pose from the carried body state, not the last frame's

@@ -92,6 +92,10 @@ def run_soak():
         kf_every=5, fuse_every=3, stats_every=3, cull_every=3,
         lean_after_kf=4, track_cap=768, transfer_uint8=True,
         enable_loop_closing=True,
+        # Sliding-window odometry mode (see test_soak.py): genuine
+        # drift accumulates between revolutions, so the closures that
+        # fire in the timed region are REAL drift corrections.
+        track_window=12,
     )
     slam._sched_lean = ((40.0, 2, 4), (4.0, 2, 4))
     frames_dev = jnp.asarray(

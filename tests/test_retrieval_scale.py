@@ -90,7 +90,11 @@ class TestThresholdCalibration:
     (KeyFrameDatabase.cc:604-733); this fixed-threshold calibration is
     the equivalent guard for the per-session-trained vocabulary."""
 
-    DEFAULT_MIN_SCORE = 0.15  # models/loop_closing.py LoopCloser default
+    # The shipped default (models/loop_closing.py LoopCloser): this
+    # calibration MOVED it — round-3's 0.15 sat BELOW the measured
+    # false-place ceiling (0.254 across the aliased pairs).
+    from orb_slam3_ros_tpu.models.loop_closing import LoopCloser as _LC
+    DEFAULT_MIN_SCORE = _LC.__init__.__defaults__[1]
 
     def test_min_score_inside_separation_band(self):
         cfg = orb.default_config(240, 376, n_features=600)
@@ -158,8 +162,8 @@ class TestThresholdCalibration:
             f"no separation band: false up to {lo:.3f}, true down to {hi:.3f}"
         )
         assert lo < self.DEFAULT_MIN_SCORE < hi, (
-            f"min_score=0.15 outside data band ({lo:.3f}, {hi:.3f}) — "
-            f"recalibrate LoopCloser.min_score"
+            f"min_score={self.DEFAULT_MIN_SCORE} outside data band "
+            f"({lo:.3f}, {hi:.3f}) — recalibrate LoopCloser.min_score"
         )
 
     def test_no_cross_room_candidates(self, two_rooms):
@@ -185,7 +189,7 @@ class TestThresholdCalibration:
         db = jnp.concatenate([sigs_a[:5], sigs_b])  # 5 A-frames + 10 B
         valid = jnp.ones((db.shape[0],), bool)
         excl = jnp.zeros((db.shape[0],), bool)
-        min_score = 0.15  # LoopCloser default bar
+        min_score = self.DEFAULT_MIN_SCORE  # LoopCloser default bar
         hits_b = 0
         revisit_ok = 0
         for qi in range(6, 10):  # late room-A frames as queries
