@@ -363,8 +363,13 @@ def _make_sequence_impl(
     )
     if trajectory == "loop":
         R_wc, t_wc, ts = loop_trajectory(n_frames, dt=dt)
-    elif trajectory == "multiloop":
-        R_wc, t_wc, ts = multiloop_trajectory(n_frames, dt=dt)
+    elif trajectory.startswith("multiloop"):
+        # "multiloop" = 3 revolutions; "multiloopN" = N. Angular rate
+        # sets the inter-keyframe translation baseline — too slow and
+        # monocular triangulation starves the sliding-window map
+        # (parallax ~1% of depth at 1 deg/frame).
+        revs = int(trajectory[len("multiloop"):] or 3)
+        R_wc, t_wc, ts = multiloop_trajectory(n_frames, dt=dt, revs=revs)
     else:
         R_wc, t_wc, ts = orbit_trajectory(n_frames, dt=dt, seed=seed)
     imgs, deps, imgs_r = [], [], []

@@ -84,7 +84,7 @@ def run_soak():
     n_frames, warm, chunk = 1000, 300, 15
     seq = synth.make_sequence(
         n_frames=n_frames, height=H, width=W, dt=0.1, seed=5,
-        trajectory="multiloop",
+        trajectory="multiloop8",
     )
     slam = MonoSlam(
         height=H, width=W, cam_params=seq.cam_params, n_features=1000,
@@ -94,9 +94,11 @@ def run_soak():
         enable_loop_closing=True,
         # Sliding-window odometry mode (see test_soak.py): genuine
         # drift accumulates between revolutions, so the closures that
-        # fire in the timed region are REAL drift corrections.
-        track_window=12,
+        # fire are REAL drift corrections.
+        track_window=16,
     )
+    slam.loop_closer.min_gap = 15
+    slam.loop_closer.min_sim3_inliers = 15
     slam._sched_lean = ((40.0, 2, 4), (4.0, 2, 4))
     frames_dev = jnp.asarray(
         np.clip(np.stack(seq.images), 0, 255).astype(np.uint8)

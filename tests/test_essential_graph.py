@@ -10,6 +10,7 @@ version distributes the loop correction strictly better than the chain.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -136,6 +137,7 @@ def _aligned_rmse(m, R_gt, t_gt):
 
 
 class TestEssentialGraph:
+    @pytest.mark.slow
     def test_graph_beats_chain_on_drifted_loop(self, rng):
         """Drift concentrated between KF0 and the loop candidate: the
         chain PGO pins BOTH (freezing that drift in), the essential graph

@@ -98,6 +98,7 @@ class TestExtractor:
         assert (np.diag(d_mat)[valid] == 0).all()
 
 
+@pytest.mark.slow
 class TestBatchedExtractParity:
     """The level-batched ``extract`` must reproduce the per-level loop
     (``extract_looped``): identical detection/orientation, and descriptors

@@ -256,6 +256,7 @@ class TestAtlasCheckpoint:
             checkpoint.load_atlas(path, s2)
 
 
+@pytest.mark.slow
 class TestPointCloudEvents:
     def test_points_every_emits_cloud_and_markers(self):
         """The points_every cadence must emit tracked_points/map_points/

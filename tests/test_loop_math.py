@@ -1,6 +1,7 @@
 """Tests for Sim3 solving and essential-graph (pose-graph) optimization."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -141,6 +142,7 @@ def make_loop_problem(rng, K=12, drift_rot=0.01, drift_trans=0.05, drift_scale=1
 
 
 class TestPoseGraph:
+    @pytest.mark.slow
     def test_loop_closure_removes_drift(self, rng):
         prob, R_gt, t_gt, s_gt = make_loop_problem(rng)
         drift_before = np.linalg.norm(np.asarray(prob.t) - t_gt, axis=-1).max()
@@ -151,6 +153,7 @@ class TestPoseGraph:
         np.testing.assert_allclose(np.asarray(res.s), 1.0, atol=0.05)
         assert float(res.cost) < 1e-2 * prob.e_i.shape[0]
 
+    @pytest.mark.slow
     def test_fixed_vertex_unchanged(self, rng):
         prob, *_ = make_loop_problem(rng)
         res = pgo.optimize_pose_graph(prob, n_iters=10)

@@ -53,6 +53,7 @@ class TestRectify:
         err = np.abs(rectified[c] - direct[c])
         assert np.median(err) < 3.0, np.median(err)
 
+    @pytest.mark.slow
     def test_fisheye_sequence_tracks_through_pinhole_pipeline(self):
         """KB8 input stream -> rectification -> standard mono pipeline."""
         from orb_slam3_ros_tpu.models.system import MonoSlam, OK

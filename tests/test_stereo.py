@@ -63,6 +63,7 @@ class TestStereoMatch:
 
 
 class TestStereoPipeline:
+    @pytest.mark.slow
     def test_e2e_metric_scale(self, stereo_seq):
         seq = stereo_seq
         slam = StereoSlam(
@@ -170,6 +171,7 @@ class TestStereoChunk:
 
 
 class TestRgbdPipeline:
+    @pytest.mark.slow
     def test_e2e_metric_scale(self, stereo_seq):
         seq = stereo_seq
         slam = RgbdSlam(

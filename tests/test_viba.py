@@ -1,6 +1,7 @@
 """Tests for visual-inertial BA and IMU initialization solvers."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +89,7 @@ class TestVIBA:
             np.testing.assert_allclose(np.asarray(st.p_wb)[k], sim["p_wb"][k], atol=3e-2)
             np.testing.assert_allclose(np.asarray(st.v_w)[k], sim["v_w"][k], atol=8e-2)
 
+    @pytest.mark.slow
     def test_bias_recovery(self, rng):
         bg = np.array([0.01, -0.02, 0.015])
         ba = np.array([0.05, 0.08, -0.04])
@@ -142,6 +144,7 @@ class TestVIBAGravityScale:
         cosang = float(np.dot(g_est, g_true))
         assert cosang > np.cos(np.deg2rad(1.0)), cosang
 
+    @pytest.mark.slow
     def test_fix_scale_keeps_scale_one(self, rng):
         sim = simulate_vi(rng, n_kf=6)
         prob, _ = build_vi_problem(rng, sim, px_noise=0.2)
@@ -150,6 +153,7 @@ class TestVIBAGravityScale:
         )
         assert abs(float(res.scale) - 1.0) < 1e-6
 
+    @pytest.mark.slow
     def test_metric_input_scale_near_one(self, rng):
         # Already-metric, gravity-aligned input: GS must not disturb it.
         sim = simulate_vi(rng, n_kf=8)
