@@ -40,6 +40,9 @@ class LoopCarry(NamedTuple):
     n_pts: jnp.ndarray  # [] int32
     last_kf_fid: jnp.ndarray  # [] int32
     alive: jnp.ndarray  # [] bool — False after a tracking failure
+    # Inlier count at the reference keyframe for the thRefRatio
+    # densification rule (-1 = unseeded: adopts the first frame's count).
+    ref_inl: jnp.ndarray = None  # [] int32
 
 
 class ChunkOut(NamedTuple):
@@ -63,6 +66,7 @@ def make_chunk_runner(
     height: int,
     kf_every: int,
     kf_min_inliers: int,
+    kf_ref_ratio: float = 0.0,
     ba_window: int,
     ba_fixed: int,
     local_ba_iters: int,
@@ -256,14 +260,24 @@ def make_chunk_runner(
             c.m, res.visible_mask & ok, res.found_mask & ok
         )
         since = fid - c.last_kf_fid
+        ref_inl = jnp.where(c.ref_inl < 0, res.n_inliers, c.ref_inl)
+        weak = (res.n_inliers < kf_min_inliers) & (since >= 2)
+        if kf_ref_ratio > 0.0:
+            # thRefRatio densification (NeedNewKeyFrame's c2 ratio,
+            # Tracking.cc:3103): insert when tracked support sags
+            # RELATIVE to the reference keyframe, before the absolute
+            # weak-tracking floor — keeps a map reserve through
+            # weak-texture viewing angles instead of limping to loss.
+            weak = weak | (
+                (res.n_inliers.astype(jnp.float32)
+                 < kf_ref_ratio * ref_inl.astype(jnp.float32))
+                & (since >= 2)
+            )
         need_kf = (
             ok
             & (c.n_kf >= 2)
             & (c.n_kf < K_cap)
-            & (
-                (since >= kf_every)
-                | ((res.n_inliers < kf_min_inliers) & (since >= 2))
-            )
+            & ((since >= kf_every) | weak)
         )
 
         def do_kf(args):
@@ -295,6 +309,7 @@ def make_chunk_runner(
             LoopCarry(
                 m=m, R=R_cur, t=t_cur, vel_R=vel_R, vel_t=vel_t,
                 n_kf=n_kf, n_pts=n_pts, last_kf_fid=last_kf, alive=ok,
+                ref_inl=jnp.where(need_kf, res.n_inliers, ref_inl),
             ),
             out,
         )
@@ -312,6 +327,7 @@ def make_chunk_runner(
             n_pts=pk[25].astype(jnp.int32),
             last_kf_fid=pk[26].astype(jnp.int32),
             alive=pk[27] > 0.5,
+            ref_inl=jnp.full((), -1, jnp.int32),
         )
 
     @partial(jax.jit, static_argnames=("chunk",))

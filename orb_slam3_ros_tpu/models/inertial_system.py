@@ -523,6 +523,7 @@ class InertialSlam(MonoSlam):
                 width=self.width, height=self.height,
                 kf_every=self.kf_every,
                 kf_min_inliers=self.kf_min_inliers,
+                kf_ref_ratio=self.kf_ref_ratio,
                 W=self.W, ba_window=self.ba_window,
                 local_ba_iters=self.local_ba_iters,
                 fuse_neighbors=self.fuse_neighbors,
@@ -905,6 +906,7 @@ class InertialSlam(MonoSlam):
                 self._vi_prior = None  # no visual info to marginalize
                 self._log_pose(ts)
                 if self._need_keyframe(n_vis):
+                    self._ref_kf_inl = n_vis
                     self._insert_keyframe(feats, ts, res)
                 return self._pose_mat()
             self.state = LOST
@@ -933,6 +935,7 @@ class InertialSlam(MonoSlam):
                 n_inliers=n_vis, state=self.state, n_kf=self.n_kf,
             ))
         if self._need_keyframe(n_vis):
+            self._ref_kf_inl = n_vis
             self._insert_keyframe(feats, ts, res)
         return self._pose_mat()
 
@@ -1291,14 +1294,94 @@ class InertialSlam(MonoSlam):
             ]
         self._sync_host_state()
 
+    # ------------------------------------------------------------------
+    # Chunked, abortable FULL INERTIAL BA (the reference's background
+    # RunGlobalBundleAdjustment thread calls FullInertialBA when
+    # pActiveMap->IsInertial(), LoopClosing.cc:3611-3620, with the same
+    # mbStopGBA abort flag). Each chunk is a few LM iterations of the
+    # K_cap-padded full VI problem (one compiled shape); the LM damping
+    # carries across chunks (VIBAResult.lam), so the chunked solve walks
+    # the same trust-region path as the synchronous one. Frame/chunk
+    # dispatches interleave with GBA chunks on the device queue, so a
+    # post-closure inertial GBA no longer stalls tracking.
+    def _start_async_gba(self, n_iters: int, n_cg: int = 50, chunk: int = 2):
+        if not self.imu_initialized:
+            return super()._start_async_gba(n_iters, n_cg=n_cg, chunk=chunk)
+        while self._gba is not None:
+            self._poll_gba(force=True)  # fold in the previous solve first
+        built = self._build_vi_window_problem(self.n_kf)
+        if built is None:
+            return
+        prob, window_ids = built
+        self._gba = dict(
+            kind="vi", prob=prob, window_ids=window_ids, done=0,
+            target=n_iters, chunk=chunk,
+            lam=jnp.asarray(1e-3, jnp.float32),
+            n_kf0=self.n_kf, res=None, abort=False, obs0=self.map.kf_obs,
+        )
+        self._dispatch_gba_chunk()
+
+    def _dispatch_gba_chunk(self):
+        g = self._gba
+        if g.get("kind") != "vi":
+            return super()._dispatch_gba_chunk()
+        it = min(g["chunk"], g["target"] - g["done"])
+        res = viba.vi_bundle_adjust(
+            g["prob"], n_iters=it, row_n=self.N, lam0=g["lam"]
+        )
+        g["prob"] = g["prob"]._replace(states=res.states, X=res.X)
+        g["lam"] = res.lam
+        g["res"] = res
+        g["done"] += it
+        # Pacing signal only: a scalar fetch on the IO thread resolves
+        # when the chunk has executed (the big arrays stay on device).
+        g["fut"] = self._io.submit(jax.device_get, res.cost)
+
     def _finish_gba(self):
         """A folded-in global BA moved keyframe poses: the device chunk
         anchors and the per-frame marginal prior are stale (rebuilt from
         host state on the next frame/chunk)."""
-        super()._finish_gba()
+        g = self._gba
+        if g is None or g.get("kind") != "vi":
+            super()._finish_gba()
+            self._vi_dev_state = None
+            self._vi_anchor = None
+            self._vi_prior = None
+            return
+        self._gba = None
+        # Anchor keyframe r = last keyframe the solve saw: its pre/post
+        # poses define the world correction applied to everything created
+        # during the solve (and to the tracker's current pose below).
+        r = g["n_kf0"] - 1
+        pre = np.asarray(jax.device_get(jnp.concatenate(
+            [self.map.kf_R[r].reshape(-1), self.map.kf_t[r]]
+        )))
+        self.map = local_mapping.apply_vi_gba_partial(
+            self.map, g["window_ids"], g["res"], self.calib,
+            jnp.asarray(g["n_kf0"], jnp.int32), kf_obs0=g["obs0"],
+        )
+        self.map = map_updates.refresh_point_stats(
+            self.map, n_levels=self.config.n_levels
+        )
+        post = np.asarray(jax.device_get(jnp.concatenate(
+            [self.map.kf_R[r].reshape(-1), self.map.kf_t[r]]
+        )))
+        Rr_o, tr_o = pre[:9].reshape(3, 3), pre[9:]
+        Rr_n, tr_n = post[:9].reshape(3, 3), post[9:]
+        # Tcw_cur' = (Tcw_cur * Twc_r_old) * Tcw_r_new — the tracker rides
+        # the same correction as the keyframes inserted during the solve;
+        # without this the next chunk anchor teleports across the fold-in.
+        R_cr = self.R_cur @ Rr_o.T
+        t_cr = self.t_cur - R_cr @ tr_o
+        self.R_cur = (R_cr @ Rr_n).astype(np.float32)
+        self.t_cur = (R_cr @ tr_n + t_cr).astype(np.float32)
+        self.v_cur = ((Rr_n.T @ Rr_o) @ self.v_cur).astype(np.float32)
+        self._ref_cache = None
+        self._sync_replica()
         self._vi_dev_state = None
         self._vi_anchor = None
         self._vi_prior = None
+        self._check_bad_imu()
 
     def _sync_host_state(self):
         """Refresh host-side bias/velocity/ref-pose from the newest KF —
@@ -1321,10 +1404,12 @@ class InertialSlam(MonoSlam):
         self._vi_prior = None
         self._check_bad_imu()
 
-    def _run_vi_ba(self, window, n_iters, bias_prior_g=0.0, bias_prior_a=0.0):
-        self._vi_dev_state = None  # host-side VI solve: chunk state stale
+    def _build_vi_window_problem(self, window):
+        """Assemble the (padded) VI-BA window problem over the last
+        ``window`` keyframes — two packed uploads. Returns
+        ``(prob, window_ids)`` or None when there is nothing to solve."""
         if self.n_kf < 2:
-            return
+            return None
         last = self.n_kf
         lo = max(0, last - window)
         ids = list(range(lo, last))
@@ -1333,7 +1418,7 @@ class InertialSlam(MonoSlam):
         else:
             fixed = [i == 0 or i < last - self.ba_window for i in ids]
         if all(fixed):
-            return
+            return None
         # Beyond-window solves (the post-closure full inertial BA) pad
         # to K_cap — ONE compiled shape; see _build_full_vi_problem.
         W_eff = max(self.W, len(ids))
@@ -1378,6 +1463,14 @@ class InertialSlam(MonoSlam):
             big_d[..., 0:3], big_d[..., 3:6], big_d[..., 6],
             edge_ok_d, self.calib, self.cam_params, bf=self.bf,
         )
+        return prob, window_ids
+
+    def _run_vi_ba(self, window, n_iters, bias_prior_g=0.0, bias_prior_a=0.0):
+        self._vi_dev_state = None  # host-side VI solve: chunk state stale
+        built = self._build_vi_window_problem(window)
+        if built is None:
+            return
+        prob, window_ids = built
         res = viba.vi_bundle_adjust(
             prob, n_iters=n_iters,
             bias_prior_g=bias_prior_g, bias_prior_a=bias_prior_a,

@@ -401,3 +401,72 @@ def apply_vi_ba(m: MapState, window_ids: jnp.ndarray, res, calib) -> MapState:
         kf_ba=m.kf_ba.at[window_ids].set(res.states.ba),
         pt_X=res.X,
     )
+
+
+@jax.jit
+def apply_vi_gba_partial(
+    m: MapState, window_ids: jnp.ndarray, res, calib,
+    n_kf0: jnp.ndarray, kf_obs0: jnp.ndarray | None = None,
+) -> MapState:
+    """Fold in a FULL-INERTIAL-BA result computed on a SNAPSHOT of the
+    map while tracking kept inserting keyframes — the inertial twin of
+    ``apply_global_ba_partial`` (the reference's RunGlobalBundleAdjustment
+    FullInertialBA branch + post-GBA spanning-tree update,
+    LoopClosing.cc:3611-3780): keyframes the solve saw (slot < ``n_kf0``)
+    take optimized pose/velocity/bias; keyframes inserted during the
+    solve keep their pose RELATIVE to the last optimized keyframe, with
+    their world velocity rotated by the same correction; points created
+    during the solve move with that correction too."""
+    from ..ops import viba as viba_ops
+
+    K, N = m.K, m.N
+    R_cw, t_cw = viba_ops.cam_from_body(
+        res.states.R_wb, res.states.p_wb, calib.R_bc, calib.t_bc
+    )
+    # Scatter solved states into full-K arrays (padding rows re-write the
+    # fixed pad slot with its own unchanged state; non-window slots are
+    # selected away via old_kf below).
+    kf_R_s = m.kf_R.at[window_ids].set(R_cw)
+    kf_t_s = m.kf_t.at[window_ids].set(t_cw)
+    kf_v_s = m.kf_v.at[window_ids].set(res.states.v_w)
+    kf_bg_s = m.kf_bg.at[window_ids].set(res.states.bg)
+    kf_ba_s = m.kf_ba.at[window_ids].set(res.states.ba)
+    ids = jnp.arange(K)
+    old_kf = ids < n_kf0
+    r = jnp.clip(n_kf0 - 1, 0, K - 1)
+    Rr_o, tr_o = m.kf_R[r], m.kf_t[r]  # reference KF, pre-apply
+    Rr_n, tr_n = kf_R_s[r], kf_t_s[r]  # reference KF, optimized
+    # T_k<-r (held fixed): Tcw_k * Twc_r(old); then Tcw_k' = T_k<-r * Tcw_r'.
+    Rk_r = jnp.einsum("kij,lj->kil", m.kf_R, Rr_o)
+    tk_r = m.kf_t - jnp.einsum("kij,j->ki", Rk_r, tr_o)
+    Rk_new = jnp.einsum("kij,jl->kil", Rk_r, Rr_n)
+    tk_new = jnp.einsum("kij,j->ki", Rk_r, tr_n) + tk_r
+    kf_R = jnp.where(old_kf[:, None, None], kf_R_s, Rk_new)
+    kf_t = jnp.where(old_kf[:, None], kf_t_s, tk_new)
+    # World-frame correction rotation (new world <- old world) for
+    # velocities of keyframes born during the solve; biases are body
+    # quantities and carry over unchanged.
+    R_corr = Rr_n.T @ Rr_o
+    kf_v = jnp.where(old_kf[:, None], kf_v_s, m.kf_v @ R_corr.T)
+    kf_bg = jnp.where(old_kf[:, None], kf_bg_s, m.kf_bg)
+    kf_ba = jnp.where(old_kf[:, None], kf_ba_s, m.kf_ba)
+    # Points born during the solve: world -> cam_r(old) -> world(new).
+    old_pt = m.pt_first_kf < n_kf0
+    Xc_r = m.pt_X @ Rr_o.T + tr_o
+    X_prop = (Xc_r - tr_n) @ Rr_n
+    pt_X = jnp.where(
+        (old_pt & m.pt_valid)[:, None], res.X,
+        jnp.where(m.pt_valid[:, None], X_prop, m.pt_X),
+    )
+    # Outlier clearing: only rows the solve saw (scattered from the
+    # window layout), only on pre-solve keyframes, and only where the
+    # binding is unchanged since the snapshot.
+    W = window_ids.shape[0]
+    inl = jnp.ones((K, N), bool).at[window_ids].set(res.inlier.reshape(W, N))
+    clear = (m.kf_obs >= 0) & ~inl & old_kf[:, None]
+    if kf_obs0 is not None:
+        clear = clear & (m.kf_obs == kf_obs0)
+    return m._replace(
+        kf_R=kf_R, kf_t=kf_t, kf_v=kf_v, kf_bg=kf_bg, kf_ba=kf_ba,
+        pt_X=pt_X, kf_obs=jnp.where(clear, -1, m.kf_obs),
+    )

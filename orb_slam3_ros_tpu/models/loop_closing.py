@@ -844,15 +844,13 @@ class LoopCloser:
             # RunGlobalBundleAdjustment on its own thread,
             # LoopClosing.cc:2520): chunks interleave with tracking on
             # the device queue; a new keyframe aborts remaining chunks.
-            # Inertial maps instead run the FULL INERTIAL BA — a
+            # InertialSlam overrides _start_async_gba to run the FULL
+            # INERTIAL BA in the same chunked/abortable fashion — a
             # visual-only GBA has a free scale gauge that drifts the
             # metric map out from under the IMU (the reference's
             # RunGlobalBundleAdjustment calls FullInertialBA when
             # pActiveMap->IsInertial(), LoopClosing.cc:3611-3620).
-            if getattr(slam, "imu_initialized", False):
-                slam._run_vi_ba(window=slam.n_kf, n_iters=self.gba_iters)
-            else:
-                slam._start_async_gba(self.gba_iters)
+            slam._start_async_gba(self.gba_iters)
         # Landmark geometry moved wholesale: recompute viewing
         # normals / depth bands / representative descriptors now
         # rather than waiting for the next keyframe cadence.

@@ -83,6 +83,7 @@ class MonoSlam:
         ba_fixed: int = 4,
         kf_every: int = 5,
         kf_min_inliers: int = 60,
+        kf_ref_ratio: float = 0.5,
         local_ba_iters: int = 6,
         enable_loop_closing: bool = False,
         enable_atlas: bool = False,
@@ -209,6 +210,8 @@ class MonoSlam:
         self.ba_fixed = ba_fixed
         self.kf_every = kf_every
         self.kf_min_inliers = kf_min_inliers
+        self.kf_ref_ratio = kf_ref_ratio
+        self._ref_kf_inl = 0  # inliers at the last keyframe insertion
         self.local_ba_iters = local_ba_iters
 
         self.state = NOT_INITIALIZED
@@ -663,6 +666,7 @@ class MonoSlam:
                 self.config, self.cam_params,
                 width=self.width, height=self.height,
                 kf_every=self.kf_every, kf_min_inliers=self.kf_min_inliers,
+                kf_ref_ratio=self.kf_ref_ratio,
                 ba_window=self.ba_window, ba_fixed=self.ba_fixed,
                 local_ba_iters=self.local_ba_iters,
                 fuse_neighbors=self.fuse_neighbors,
@@ -788,6 +792,10 @@ class MonoSlam:
                 n_pts=jnp.asarray(self.n_pts, jnp.int32),
                 last_kf_fid=jnp.asarray(self.last_kf_frame, jnp.int32),
                 alive=jnp.asarray(True),
+                ref_inl=jnp.asarray(
+                    self._ref_kf_inl if self._ref_kf_inl > 0 else -1,
+                    jnp.int32,
+                ),
             )
             fids = jnp.arange(len(tss), dtype=jnp.int32) + self.frame_id
             if isinstance(imgs, jnp.ndarray):
@@ -1258,6 +1266,7 @@ class MonoSlam:
             self._maybe_publish_points(ts, found_mask=res.found_mask)
 
         if self._need_keyframe(n_inl):
+            self._ref_kf_inl = n_inl
             self._insert_keyframe(feats, ts, res)
         return self._pose_mat()
 
@@ -1307,7 +1316,15 @@ class MonoSlam:
         if self.n_kf >= self.K_cap and not self._make_room():
             return False
         since = self.frame_id - self.last_kf_frame
-        return since >= self.kf_every or (n_inl < self.kf_min_inliers and since >= 2)
+        weak = n_inl < self.kf_min_inliers or (
+            # thRefRatio densification (NeedNewKeyFrame's c2 ratio,
+            # Tracking.cc:3103): tracked support sagged relative to the
+            # reference keyframe — insert before tracking limps to loss.
+            self.kf_ref_ratio > 0.0
+            and self._ref_kf_inl > 0
+            and n_inl < self.kf_ref_ratio * self._ref_kf_inl
+        )
+        return since >= self.kf_every or (weak and since >= 2)
 
     def _make_room(self) -> bool:
         """Recycle culled keyframe slots (compaction); if the live map

@@ -82,6 +82,9 @@ class VICarry(NamedTuple):
     n_pts: jnp.ndarray
     last_kf_fid: jnp.ndarray
     alive: jnp.ndarray
+    # Inlier count at the reference keyframe for the thRefRatio
+    # densification rule (-1 = unseeded: adopts the first frame's count).
+    ref_inl: jnp.ndarray = None
 
 
 class VIChunkOut(NamedTuple):
@@ -106,6 +109,7 @@ def make_vi_chunk_runner(
     height: int,
     kf_every: int,
     kf_min_inliers: int,
+    kf_ref_ratio: float = 0.0,
     W: int,
     ba_window: int,
     local_ba_iters: int,
@@ -315,11 +319,20 @@ def make_vi_chunk_runner(
             c.m, res.visible_mask & ok, res.found_mask & ok
         )
         since = fid - c.last_kf_fid
+        ref_inl = jnp.where(c.ref_inl < 0, n_vis, c.ref_inl)
+        weak = (n_vis < kf_min_inliers) & (since >= 2)
+        if kf_ref_ratio > 0.0:
+            # thRefRatio densification (NeedNewKeyFrame's c2 ratio,
+            # Tracking.cc:3103) — see device_loop.py.
+            weak = weak | (
+                (n_vis.astype(jnp.float32)
+                 < kf_ref_ratio * ref_inl.astype(jnp.float32))
+                & (since >= 2)
+            )
         need_kf = (
             ok
             & (c.n_kf < K_cap)
-            & ((since >= kf_every)
-               | ((n_vis < kf_min_inliers) & (since >= 2)))
+            & ((since >= kf_every) | weak)
         )
 
         def do_kf(args):
@@ -350,7 +363,8 @@ def make_vi_chunk_runner(
         )
         return (
             VICarry(m=m, st=st, n_kf=n_kf, n_pts=n_pts,
-                    last_kf_fid=last_kf, alive=ok),
+                    last_kf_fid=last_kf, alive=ok,
+                    ref_inl=jnp.where(need_kf, n_vis, ref_inl)),
             out,
         )
 
@@ -369,6 +383,7 @@ def make_vi_chunk_runner(
             n_pts=pk[1].astype(jnp.int32),
             last_kf_fid=pk[2].astype(jnp.int32),
             alive=pk[3] > 0.5,
+            ref_inl=jnp.full((), -1, jnp.int32),
         )
         fid0 = pk[4].astype(jnp.int32)
         off = pk[5].astype(jnp.int32)

@@ -127,6 +127,9 @@ class VIBAResult(NamedTuple):
     cost: jnp.ndarray
     chi2_visual: jnp.ndarray  # [E]
     inlier: jnp.ndarray  # [E]
+    # Final LM damping — lets a chunked caller resume the solve where it
+    # left off (pass back as lam0) instead of restarting the trust region.
+    lam: jnp.ndarray | None = None
 
 
 @partial(jax.jit, static_argnames=("n_iters", "use_robust", "row_n"))
@@ -472,7 +475,9 @@ def vi_bundle_adjust(
     r = gather_visual(st, X)
     chi2 = jnp.sum(r * r, -1) * prob.inv_sigma2
     inlier = prob.edge_valid & (chi2 <= delta2)
-    return VIBAResult(states=st, X=X, cost=cost, chi2_visual=chi2, inlier=inlier)
+    return VIBAResult(
+        states=st, X=X, cost=cost, chi2_visual=chi2, inlier=inlier, lam=lam
+    )
 
 
 # ---------------------------------------------------------------------------
