@@ -546,14 +546,8 @@ class InertialSlam(MonoSlam):
         (chunk-mode entry, or re-entry after any host-path processing).
         The per-KF block upload (~K_cap*S*7 f32) happens only here —
         in steady chunking the state round-trips device-to-device."""
-        from .vi_device_loop import VIDevState
+        from .vi_device_loop import VIDevState, unpack_vi_dev_state
 
-        anchor = self._vi_anchor or self._body_state_from_host()
-        R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
-        if self._vi_prior is not None:
-            Sigma = self._vi_prior
-        else:
-            Sigma = jnp.zeros((15, 15))
         t0 = getattr(self, "_last_kf_ts", None)
         a, g, d = self._collect_block(-1e18 if t0 is None else t0, 1e18)
         blk = np.concatenate([a, g, d[:, None]], axis=-1).astype(np.float32)
@@ -561,6 +555,36 @@ class InertialSlam(MonoSlam):
             [self.kf_imu_acc, self.kf_imu_gyro, self.kf_imu_dts[..., None]],
             axis=-1,
         ).astype(np.float32)
+        if self._vi_anchor is None and self._vi_prior is None:
+            # The common rebuild case (after a closure / GBA fold-in /
+            # host-path processing dropped the anchors): everything
+            # comes from HOST values — ONE packed upload instead of 11
+            # per-leaf tunnel round trips; camera->body on device.
+            edge_ok = np.ones(self.K_cap, np.float32)
+            for k in self.chain_breaks:
+                edge_ok[k] = 0.0
+            buf = np.concatenate([
+                np.asarray(self.R_cur, np.float32).reshape(-1),
+                np.asarray(self.t_cur, np.float32).reshape(-1),
+                np.asarray(self.v_cur, np.float32).reshape(-1),
+                np.asarray(self.bg_cur, np.float32).reshape(-1),
+                np.asarray(self.ba_cur, np.float32).reshape(-1),
+                np.zeros(225, np.float32),
+                blk.reshape(-1),
+                np.asarray([float((d > 0).sum()), 1.0], np.float32),
+                kf_blk.reshape(-1),
+                edge_ok,
+            ])
+            return unpack_vi_dev_state(
+                jnp.asarray(buf), self.calib.R_bc, self.calib.t_bc,
+                self.K_cap, self.imu_cap_kf,
+            )
+        anchor = self._vi_anchor or self._body_state_from_host()
+        R_anc, p_anc, v_anc, bg_anc, ba_anc = anchor
+        if self._vi_prior is not None:
+            Sigma = self._vi_prior
+        else:
+            Sigma = jnp.zeros((15, 15))
         edge_ok = np.ones(self.K_cap, bool)
         for k in self.chain_breaks:
             edge_ok[k] = False
@@ -1307,8 +1331,10 @@ class InertialSlam(MonoSlam):
     def _start_async_gba(self, n_iters: int, n_cg: int = 50, chunk: int = 2):
         if not self.imu_initialized:
             return super()._start_async_gba(n_iters, n_cg=n_cg, chunk=chunk)
-        while self._gba is not None:
-            self._poll_gba(force=True)  # fold in the previous solve first
+        if self._gba is not None:
+            self.abort_gba()  # mbStopGBA: don't wait out the old solve
+            while self._gba is not None:
+                self._poll_gba(force=True)  # fold in its partial result
         built = self._build_vi_window_problem(self.n_kf)
         if built is None:
             return

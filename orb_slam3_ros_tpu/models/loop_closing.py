@@ -811,8 +811,11 @@ class LoopCloser:
 
         res = _Res(R=loop_R, t=loop_t, s=loop_s)
         # A previous closure's global BA still in flight would stomp the
-        # poses this PGO is about to write — fold it in first.
+        # poses this PGO is about to write — ABORT it (mbStopGBA,
+        # LoopClosing.cc:2512: a new closure stops the running GBA
+        # rather than waiting it out) and fold in the partial result.
         if getattr(slam, "_gba", None) is not None:
+            slam.abort_gba()
             while slam._gba is not None:
                 slam._poll_gba(force=True)
             m = slam.map

@@ -75,6 +75,42 @@ class VIDevState(NamedTuple):
     kf_edge_ok: jnp.ndarray  # [K] bool
 
 
+@partial(jax.jit, static_argnames=("K", "S"))
+def unpack_vi_dev_state(buf: jnp.ndarray, R_bc, t_bc, K: int, S: int
+                        ) -> VIDevState:
+    """Rebuild VIDevState from ONE packed f32 vector of HOST values
+    (camera pose; converted to the body frame here). The state is
+    rebuilt from host bookkeeping after every closure / GBA fold-in;
+    uploading its 11 leaves separately costs ~11 tunnel round trips
+    (~20-50 ms each), so the host concatenates once and this slices on
+    device."""
+    o = 0
+
+    def take(n):
+        nonlocal o
+        v = buf[o : o + n]
+        o += n
+        return v
+
+    R_cw = take(9).reshape(3, 3)
+    t_cw = take(3)
+    v_w = take(3)
+    bg = take(3)
+    ba = take(3)
+    Sigma = take(225).reshape(15, 15)
+    blk = take(S * 7).reshape(S, 7)
+    blk_n = take(1)[0].astype(jnp.int32)
+    blk_ok = take(1)[0] > 0.5
+    kf_blk = take(K * S * 7).reshape(K, S, 7)
+    kf_edge_ok = take(K) > 0.5
+    R_wb, p_wb = viba.body_from_cam(R_cw, t_cw, R_bc, t_bc)
+    return VIDevState(
+        R_wb=R_wb, p_wb=p_wb, v=v_w, bg=bg, ba=ba, Sigma=Sigma,
+        blk=blk, blk_n=blk_n, blk_ok=blk_ok,
+        kf_blk=kf_blk, kf_edge_ok=kf_edge_ok,
+    )
+
+
 class VICarry(NamedTuple):
     m: object  # MapState
     st: VIDevState
