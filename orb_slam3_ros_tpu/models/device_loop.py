@@ -327,20 +327,24 @@ def make_chunk_runner(
             n_pts=pk[25].astype(jnp.int32),
             last_kf_fid=pk[26].astype(jnp.int32),
             alive=pk[27] > 0.5,
-            ref_inl=jnp.full((), -1, jnp.int32),
+            # Reference-KF inlier count carried ACROSS chunks (-1 =
+            # unknown, seed from the chunk's first frame) — without it
+            # the thRefRatio bar re-bases to a possibly-sagging chunk
+            # entry frame instead of the true reference keyframe.
+            ref_inl=pk[28].astype(jnp.int32),
         )
 
     @partial(jax.jit, static_argnames=("chunk",))
     def run_chunk_packed(m, frames, pk, chunk: int):
-        """Single-upload chunk entry: ``pk`` = [28 carry scalars,
+        """Single-upload chunk entry: ``pk`` = [29 carry scalars,
         frame-id0, frame-offset, tss(chunk)] in ONE f32 vector, frames a
         (device-resident) [N,H,W] stack sliced on device — host->device
         transfers per chunk drop from ~10 small round trips (~20 ms each
         over the TPU tunnel) to one. Returns (new map, packed result)."""
         carry = _carry_from_packed(m, pk)
-        fid0 = pk[28].astype(jnp.int32)
-        off = pk[29].astype(jnp.int32)
-        tss = pk[30 : 30 + chunk]
+        fid0 = pk[29].astype(jnp.int32)
+        off = pk[30].astype(jnp.int32)
+        tss = pk[31 : 31 + chunk]
         imgs = jax.lax.dynamic_slice_in_dim(frames, off, chunk)
         fids = fid0 + jnp.arange(chunk, dtype=jnp.int32)
         carry2, outs = jax.lax.scan(step, carry, _prep_xs(imgs, tss, fids))
@@ -357,7 +361,7 @@ def make_chunk_runner(
 # (ints < 2^24 are exact in f32) and unpack on the host.
 
 _PF_COLS = 28  # per-frame: R(9) t(3) R_cr(9) t_cr(3) ref n_inl is_kf alive
-_SC_LEN = 28  # scalars: R(9) t(3) vel_R(9) vel_t(3) n_kf n_pts last_kf alive
+_SC_LEN = 29  # R(9) t(3) vel_R(9) vel_t(3) n_kf n_pts last_kf alive ref_inl
 
 
 @jax.jit
@@ -384,9 +388,10 @@ def pack_chunk_result(outs: ChunkOut, c: LoopCarry) -> jnp.ndarray:
             jnp.stack([
                 c.n_kf.astype(f32), c.n_pts.astype(f32),
                 c.last_kf_fid.astype(f32), c.alive.astype(f32),
+                c.ref_inl.astype(f32),
             ]),
         ]
-    )  # [28]
+    )  # [_SC_LEN]
     return jnp.concatenate([per_frame.reshape(-1), scal])
 
 
@@ -417,5 +422,6 @@ def unpack_chunk_result(buf, C: int):
         n_pts=int(sc[25]),
         last_kf_fid=int(sc[26]),
         alive=sc[27] > 0.5,
+        ref_inl=int(sc[28]),
     )
     return per_frame, scalars

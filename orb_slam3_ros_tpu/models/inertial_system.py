@@ -633,7 +633,8 @@ class InertialSlam(MonoSlam):
             ))
             if np.any(gaps > self.ts_jump_threshold):
                 ok_chunk = False
-        if ok_chunk and self.n_kf >= self.K_cap - 1 - (C + 1) // 2:
+        if (ok_chunk and not self.localization_only
+                and self.n_kf >= self.K_cap - 1 - (C + 1) // 2):
             self._make_room()
         if not ok_chunk:
             for i, ts in enumerate(tss):
@@ -669,9 +670,14 @@ class InertialSlam(MonoSlam):
             imu_arr[i, :n, 0:3] = acc[i][:n]
             imu_arr[i, :n, 3:6] = gyro[i][:n]
             imu_arr[i, :n, 6] = dts[i][:n]
+        # Localization-only: sentinel last_kf_fid disables in-chunk
+        # keyframe insertion without recompiling (see system.py).
+        lkf = (self.frame_id + (1 << 22) if self.localization_only
+               else self.last_kf_frame)
         pk = np.concatenate([
             np.asarray(
-                [self.n_kf, self.n_pts, self.last_kf_frame, 1.0,
+                [self.n_kf, self.n_pts, lkf, 1.0,
+                 self._ref_kf_inl if self._ref_kf_inl > 0 else -1,
                  self.frame_id, off], np.float32,
             ),
             np.asarray(tss_np, np.float32),
@@ -710,7 +716,9 @@ class InertialSlam(MonoSlam):
         n_kf0 = p["n_kf0"]
         self.n_kf = sc["n_kf"]
         self._n_pts = sc["n_pts"]
-        self.last_kf_frame = sc["last_kf_fid"]
+        if not self.localization_only:  # else: sentinel, not a real fid
+            self.last_kf_frame = sc["last_kf_fid"]
+        self._ref_kf_inl = max(0, sc["ref_inl"])
         self.R_cur = np.asarray(sc["R"], np.float32)
         self.t_cur = np.asarray(sc["t"], np.float32)
         self.v_cur = sc["v"].astype(np.float32).copy()
@@ -1019,7 +1027,9 @@ class InertialSlam(MonoSlam):
         """Whole VI keyframe iteration in one dispatch + one packed
         fetch (see _vi_kf_work)."""
         self._apply_kf_async(force=True)
-        self.abort_gba()
+        # No abort_gba here: mbStopGBA is a loop-closure signal only
+        # (LoopClosing.cc:2512); per-frame keyframe cadence would
+        # otherwise cap every post-closure inertial GBA at ~one chunk.
         if self.on_frame is not None:
             self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))
         feats_d, feat_pt = self._to_map_dev((feats, track_res.feat_pt))
@@ -1374,10 +1384,12 @@ class InertialSlam(MonoSlam):
             self._vi_anchor = None
             self._vi_prior = None
             return
-        self._gba = None
         # Anchor keyframe r = last keyframe the solve saw: its pre/post
         # poses define the world correction applied to everything created
         # during the solve (and to the tracker's current pose below).
+        # self._gba is cleared only AFTER the fold-in completes: a raise
+        # mid-fold (e.g. device OOM during a closure storm) must not
+        # silently drop the partial solve for `while self._gba` callers.
         r = g["n_kf0"] - 1
         pre = np.asarray(jax.device_get(jnp.concatenate(
             [self.map.kf_R[r].reshape(-1), self.map.kf_t[r]]
@@ -1402,6 +1414,7 @@ class InertialSlam(MonoSlam):
         self.R_cur = (R_cr @ Rr_n).astype(np.float32)
         self.t_cur = (R_cr @ tr_n + t_cr).astype(np.float32)
         self.v_cur = ((Rr_n.T @ Rr_o) @ self.v_cur).astype(np.float32)
+        self._gba = None
         self._ref_cache = None
         self._sync_replica()
         self._vi_dev_state = None

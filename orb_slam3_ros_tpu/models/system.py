@@ -212,6 +212,9 @@ class MonoSlam:
         self.kf_min_inliers = kf_min_inliers
         self.kf_ref_ratio = kf_ref_ratio
         self._ref_kf_inl = 0  # inliers at the last keyframe insertion
+        # Localization-only (mbOnlyTracking): track against a frozen
+        # map, no keyframe insertion / mapping; relocalization stays on.
+        self.localization_only = False
         self.local_ba_iters = local_ba_iters
 
         self.state = NOT_INITIALIZED
@@ -749,7 +752,8 @@ class MonoSlam:
         # (the weak-tracking branch of need_kf), not 1/kf_every — reserve
         # for that so the in-chunk K_cap guard can never silently drop
         # keyframes mid-chunk.
-        if self.n_kf >= self.K_cap - 1 - (len(tss) + 1) // 2:
+        if (not self.localization_only
+                and self.n_kf >= self.K_cap - 1 - (len(tss) + 1) // 2):
             self._make_room()
         tss = _np.asarray(tss, _np.float64)
         last = getattr(self, "_last_frame_ts", None)
@@ -770,11 +774,20 @@ class MonoSlam:
             # chunk compute.
             stack, off = imgs
             C = len(tss)
+            # Localization-only: push last_kf_fid far past the chunk's
+            # frame ids so `since = fid - last_kf_fid` is hugely negative
+            # and no in-chunk need_kf branch can fire — the frozen-map
+            # mode rides the SAME compiled chunk program (no recompile).
+            lkf = (self.frame_id + (1 << 22) if self.localization_only
+                   else self.last_kf_frame)
             pk = _np.concatenate([
                 self.R_cur.reshape(-1), self.t_cur.reshape(-1),
                 self.vel_R.reshape(-1), self.vel_t.reshape(-1),
-                _np.asarray([self.n_kf, self.n_pts, self.last_kf_frame,
-                             1.0, self.frame_id, off], _np.float32),
+                _np.asarray([self.n_kf, self.n_pts, lkf,
+                             1.0,
+                             self._ref_kf_inl if self._ref_kf_inl > 0
+                             else -1,
+                             self.frame_id, off], _np.float32),
                 _np.asarray(tss, _np.float32),
             ]).astype(_np.float32)
             self.map, packed = self._chunk_runner().packed(
@@ -790,7 +803,9 @@ class MonoSlam:
                 vel_R=jnp.asarray(self.vel_R), vel_t=jnp.asarray(self.vel_t),
                 n_kf=jnp.asarray(self.n_kf, jnp.int32),
                 n_pts=jnp.asarray(self.n_pts, jnp.int32),
-                last_kf_fid=jnp.asarray(self.last_kf_frame, jnp.int32),
+                last_kf_fid=jnp.asarray(
+                    self.frame_id + (1 << 22) if self.localization_only
+                    else self.last_kf_frame, jnp.int32),
                 alive=jnp.asarray(True),
                 ref_inl=jnp.asarray(
                     self._ref_kf_inl if self._ref_kf_inl > 0 else -1,
@@ -835,7 +850,9 @@ class MonoSlam:
         outs, sc = unpack_chunk_result(p["fut"].result(), len(p["tss"]))
         self.n_kf = sc["n_kf"]
         self._n_pts = sc["n_pts"]
-        self.last_kf_frame = sc["last_kf_fid"]
+        if not self.localization_only:  # else: sentinel, not a real fid
+            self.last_kf_frame = sc["last_kf_fid"]
+        self._ref_kf_inl = max(0, sc["ref_inl"])
         self.R_cur = np.asarray(sc["R"])
         self.t_cur = np.asarray(sc["t"])
         self.vel_R = np.asarray(sc["vel_R"])
@@ -1018,6 +1035,27 @@ class MonoSlam:
         """Hook: update vel_R/vel_t before tracking (constant-velocity by
         default; the inertial pipeline overrides with IMU prediction)."""
 
+    # ------------------------------------------------------------------
+    # Localization-only mode (System::ActivateLocalizationMode /
+    # DeactivateLocalizationMode, System.cc:399-437, and the
+    # mbOnlyTracking branch of Tracking::Track, Tracking.cc:1999-2124):
+    # track — at full chunked throughput — against a frozen map. The
+    # natural consumer of a loaded checkpoint (multi-session replay).
+    def activate_localization_mode(self):
+        """Freeze the map: flush pending keyframe/GBA work (the
+        reference waits for LocalMapping::Stop), then disable keyframe
+        insertion on both the host and in-chunk paths. Relocalization
+        after loss stays active (tracking-only reloc, Tracking.cc:2034)."""
+        self.flush()
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        """Resume full SLAM (LocalMapping 'Release'): keyframe cadence
+        re-arms from the current frame."""
+        self.localization_only = False
+        self.last_kf_frame = self.frame_id
+        self._ref_kf_inl = 0
+
     def _try_relocalize(self, feats, ts):
         """Relocalization after tracking loss (role of
         ``Tracking::Relocalization``, Tracking.cc:3648: BoW candidates ->
@@ -1036,9 +1074,14 @@ class MonoSlam:
             self.map.kf_desc_sign, self.map.kf_feat_valid, self.vocab
         )
         q = retrieval.signature(feats.desc_sign, feats.valid, self.vocab)
-        cand_ids, _ = retrieval.detect_candidates(
-            q, sigs, self.map.kf_valid, jnp.zeros((self.K_cap,), bool),
-            min_common_score=0.0,
+        # Covisibility-boosted candidate ranking — the contract of
+        # KeyFrameDatabase::DetectRelocalizationCandidates
+        # (KeyFrameDatabase.cc:733-856): a candidate is scored by its
+        # covisible GROUP's accumulated similarity, so one aliased
+        # keyframe can't outrank a consistently-similar neighborhood.
+        cand_ids, _ = retrieval.detect_candidates_grouped(
+            q, sigs, map_state.covisibility(self.map), self.map.kf_valid,
+            jnp.zeros((self.K_cap,), bool), min_common_score=0.0,
         )
         for c in np.asarray(jax.device_get(cand_ids)):
             if c < 0:
@@ -1313,9 +1356,17 @@ class MonoSlam:
         """Simplified NeedNewKeyFrame (Tracking.cc:3103): periodic + weak
         tracking; at capacity, culled slots are recycled by compaction so
         K_cap bounds the LIVE keyframe set, not the sequence length."""
+        if self.localization_only:
+            # mbOnlyTracking: never insert (Tracking.cc:3105 returns
+            # false immediately) — and never force-cull a frozen map.
+            return False
         if self.n_kf >= self.K_cap and not self._make_room():
             return False
         since = self.frame_id - self.last_kf_frame
+        # mnMatchesInliers>15 guard (Tracking.cc c2): never insert from a
+        # nearly-lost pose — an unreliable keyframe poisons the map.
+        if n_inl <= 15:
+            return False
         weak = n_inl < self.kf_min_inliers or (
             # thRefRatio densification (NeedNewKeyFrame's c2 ratio,
             # Tracking.cc:3103): tracked support sagged relative to the
@@ -1402,9 +1453,11 @@ class MonoSlam:
 
     def _insert_keyframe(self, feats, ts, track_res):
         self._apply_kf_async(force=True)
-        # A new keyframe stops any in-flight global BA after its current
-        # chunk (the reference's mbStopGBA / mbAbortBA request).
-        self.abort_gba()
+        # NOTE: a new keyframe does NOT abort an in-flight global BA —
+        # the reference's mbStopGBA is set only by a new loop closure
+        # (LoopClosing.cc:2512); mbAbortBA interrupts LOCAL BA only.
+        # apply_global_ba_partial propagates the solve's correction to
+        # keyframes/points created while it ran, so coexistence is safe.
         kf_id = self.n_kf
         if self.on_frame is not None:
             self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))

@@ -407,7 +407,7 @@ def make_vi_chunk_runner(
     @partial(jax.jit, static_argnames=("chunk",))
     def run_vi_chunk(m, st: VIDevState, frames, pk, chunk: int):
         """Single-upload chunk entry. ``pk`` = [n_kf, n_pts,
-        last_kf_fid, alive, fid0, frame-offset, tss(chunk),
+        last_kf_fid, alive, ref_inl, fid0, frame-offset, tss(chunk),
         imu(chunk*M*7)] in ONE f32 vector; ``frames`` a device-resident
         [N,H,W] stack sliced on device; ``st`` device handles threaded
         from the previous chunk (no transfer). Returns
@@ -419,12 +419,15 @@ def make_vi_chunk_runner(
             n_pts=pk[1].astype(jnp.int32),
             last_kf_fid=pk[2].astype(jnp.int32),
             alive=pk[3] > 0.5,
-            ref_inl=jnp.full((), -1, jnp.int32),
+            # Cross-chunk reference-KF inlier count (-1 = seed from the
+            # chunk's first frame) — keeps the thRefRatio bar anchored
+            # to the true reference keyframe across chunk boundaries.
+            ref_inl=pk[4].astype(jnp.int32),
         )
-        fid0 = pk[4].astype(jnp.int32)
-        off = pk[5].astype(jnp.int32)
-        tss = pk[6 : 6 + chunk]
-        imu = pk[6 + chunk : 6 + chunk + chunk * M * 7].reshape(chunk, M, 7)
+        fid0 = pk[5].astype(jnp.int32)
+        off = pk[6].astype(jnp.int32)
+        tss = pk[7 : 7 + chunk]
+        imu = pk[7 + chunk : 7 + chunk + chunk * M * 7].reshape(chunk, M, 7)
         imgs = jax.lax.dynamic_slice_in_dim(frames, off, chunk)
         fids = fid0 + jnp.arange(chunk, dtype=jnp.int32)
         if not batch_extract:
@@ -456,7 +459,7 @@ def make_vi_chunk_runner(
 # kf_imu_* mirror stays exact without a second fetch.
 
 _VI_PF_COLS = 28  # R(9) t(3) R_cr(9) t_cr(3) ref n_inl is_kf alive
-_VI_SC_LEN = 25  # R(9) t(3) v(3) bg(3) ba(3) n_kf n_pts last_kf alive
+_VI_SC_LEN = 26  # R(9) t(3) v bg ba n_kf n_pts last_kf alive ref_inl
 
 
 def pack_vi_chunk_result(outs: VIChunkOut, c: VICarry, n_kf0, kmax: int,
@@ -486,8 +489,9 @@ def pack_vi_chunk_result(outs: VIChunkOut, c: VICarry, n_kf0, kmax: int,
         jnp.stack([
             c.n_kf.astype(f32), c.n_pts.astype(f32),
             c.last_kf_fid.astype(f32), c.alive.astype(f32),
+            c.ref_inl.astype(f32),
         ]),
-    ])  # [25]
+    ])  # [_VI_SC_LEN]
     slots = n_kf0 + jnp.arange(kmax, dtype=jnp.int32)
     slots_c = jnp.clip(slots, 0, c.st.kf_blk.shape[0] - 1)
     new_blk = c.st.kf_blk[slots_c].reshape(-1)  # [kmax*S*7]
@@ -504,8 +508,8 @@ def unpack_vi_chunk_result(buf, C: int, kmax: int, S: int):
     buf = np.asarray(buf)
     pf = buf[: C * _VI_PF_COLS].reshape(C, _VI_PF_COLS)
     o = C * _VI_PF_COLS
-    sc = buf[o : o + 25]
-    o += 25
+    sc = buf[o : o + _VI_SC_LEN]
+    o += _VI_SC_LEN
     new_blk = buf[o : o + kmax * S * 7].reshape(kmax, S, 7)
     o += kmax * S * 7
     new_ok = buf[o : o + kmax] > 0.5
@@ -525,5 +529,6 @@ def unpack_vi_chunk_result(buf, C: int, kmax: int, S: int):
         v=sc[12:15], bg=sc[15:18], ba=sc[18:21],
         n_kf=int(sc[21]), n_pts=int(sc[22]),
         last_kf_fid=int(sc[23]), alive=sc[24] > 0.5,
+        ref_inl=int(sc[25]),
     )
     return per_frame, scalars, new_blk, new_ok

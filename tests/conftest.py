@@ -54,6 +54,7 @@ def pytest_collection_modifyitems(config, items):
         "test_ar.py", "test_atlas.py", "test_e2e_mono.py",
         "test_inertial_e2e.py", "test_loop_closing.py",
         "test_rgbd_inertial.py", "test_stereo_inertial.py",
+        "test_multisession.py",
         "test_vi_tracking.py", "test_device_loop.py", "test_two_chip.py",
     }
     for item in items:
