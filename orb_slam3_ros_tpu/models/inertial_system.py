@@ -802,10 +802,9 @@ class InertialSlam(MonoSlam):
                     (self.map.kf_R[last_slot], self.map.kf_t[last_slot])
                 )
             )
-            for kf_id in new_kf_slots:
-                self.key, sub = jax.random.split(self.key)
-                if self.loop_closer.try_close(self, kf_id, sub):
-                    moved = True
+            self.key, sub = jax.random.split(self.key)
+            if self.loop_closer.try_close_batch(self, new_kf_slots, sub):
+                moved = True
         if (
             getattr(self, "atlas", None) is not None
             and self.atlas.maps

@@ -477,6 +477,146 @@ def _detect_candidates_fused(
     return jnp.concatenate([cand_g, cand_f])
 
 
+@partial(jax.jit, static_argnames=("use_covisibility",))
+def _detect_candidates_batch(
+    m: ms.MapState,
+    new_kfs: jnp.ndarray,  # [B] padded with -1
+    n_kf: jnp.ndarray,
+    vocab,
+    min_gap: jnp.ndarray,
+    min_score: jnp.ndarray,
+    use_covisibility: bool = True,
+):
+    """Batched ``_detect_candidates_fused`` over every keyframe a chunk
+    inserted: keyframe signatures and the covisibility matrix are
+    computed ONCE and shared across the batch, so the whole per-chunk
+    candidate detection is ONE dispatch + ONE fetch instead of one
+    round trip per keyframe (the reference's loop thread consumes its
+    keyframe queue without per-item synchronization with tracking,
+    LoopClosing.cc:1108-1342). Rows for padding entries (-1) are -1."""
+    sigs = retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid, vocab)
+    cov = ms.covisibility(m)
+    ids = jnp.arange(m.K)
+
+    def one(nk):
+        nkc = jnp.clip(nk, 0, m.K - 1)
+        q = sigs[nkc]
+        exclude = (ids > nkc - min_gap) | (ids >= n_kf)
+        if use_covisibility:
+            exclude = exclude | (cov[nkc] > 10)
+        cand_g, _ = retrieval.detect_candidates_grouped(
+            q, sigs, cov, m.kf_valid, exclude, min_common_score=min_score
+        )
+        cand_f, _ = retrieval.detect_candidates(
+            q, sigs, m.kf_valid, exclude, min_common_score=min_score
+        )
+        out = jnp.concatenate([cand_g, cand_f])
+        return jnp.where(nk >= 0, out, -1)
+
+    return jax.vmap(one)(new_kfs)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "min_inliers"))
+def _verify_pending_scan(
+    m: ms.MapState,
+    kfs: jnp.ndarray,  # [B] new keyframes, padded with -1
+    cand: jnp.ndarray,
+    S_cw,
+    cam_params: jnp.ndarray,
+    width: int,
+    height: int,
+    min_inliers: int,
+    count0: jnp.ndarray,
+    miss0: jnp.ndarray,
+    required: jnp.ndarray,
+):
+    """ALL pending-hypothesis verification rounds for a chunk's new
+    keyframes in ONE dispatch (``lax.scan`` over the rounds) + ONE
+    packed fetch. Each round is exactly ``_verify_pending_fused``'s flow
+    (DetectAndReffineSim3FromLastKF, LoopClosing.cc:1553); the carry
+    propagates (S_cw, count, miss) and freezes once the closure fires
+    (count reaches ``required``) or the hypothesis dies (2 misses).
+    Per-round dispatch/fetch cycles over the TPU tunnel were the
+    dominant share of the measured ~520 ms/closure orchestration cost.
+
+    Packed layout: [B*4 status rows (run, ok, fire, die)] + [state,
+    count, miss] + S_cw(13) + fire payload R(9) t(3) s n_inl + pt1(N)
+    pt2(N) fuse(N).
+    """
+    one = jnp.ones((), m.kf_t.dtype)
+    N = m.N
+    f32 = jnp.float32
+
+    def round_fn(carry, kf):
+        R_cw, t_cw, s_cw, count, miss, state, pay = carry
+        kfc = jnp.clip(kf, 0, m.K - 1)
+        run = (state == 0) & (kf >= 0)
+        Rji, tji, sji = lie.sim3_inv(m.kf_R[kfc], m.kf_t[kfc], one)
+        Rcj, tcj, scj = lie.sim3_mul(R_cw, t_cw, s_cw, Rji, tji, sji)
+        X1, X2, okg, pt1, pt2, sig1, sig2 = _grow_matches_by_sim3(
+            m, kfc, cand, scj, Rcj, tcj, cam_params, width, height,
+        )
+        res = sim3solver.refine_sim3(
+            X1, X2, okg, cam_params, scj, Rcj, tcj,
+            min_inliers=min_inliers, sigma2_1=sig1, sigma2_2=sig2,
+        )
+        hit = run & res.ok
+        count2 = jnp.where(hit, count + 1, count)
+        miss2 = jnp.where(run & ~res.ok, miss + 1, miss)
+        Rn, tn, sn = lie.sim3_mul(
+            res.R, res.t, res.s, m.kf_R[kfc], m.kf_t[kfc], one
+        )
+        R2 = jnp.where(hit, Rn, R_cw)
+        t2 = jnp.where(hit, tn, t_cw)
+        s2 = jnp.where(hit, sn, s_cw)
+        fire = hit & (count2 >= required)
+        die = run & ~res.ok & (miss2 > 1)
+        new_pay = (
+            res.R, res.t, res.s, res.n_inliers.astype(jnp.int32),
+            pt1, pt2, okg & res.inlier,
+        )
+        pay2 = jax.tree.map(
+            lambda new, old: jnp.where(fire, new, old), new_pay, pay
+        )
+        state2 = jnp.where(fire, 1, jnp.where(die, 2, state))
+        status = jnp.stack([
+            run.astype(f32), (run & res.ok).astype(f32),
+            fire.astype(f32), die.astype(f32),
+        ])
+        return (R2, t2, s2, count2, miss2, state2, pay2), status
+
+    pay0 = (
+        jnp.eye(3, dtype=f32), jnp.zeros((3,), f32), jnp.ones((), f32),
+        jnp.zeros((), jnp.int32),
+        jnp.full((N,), -1, jnp.int32), jnp.full((N,), -1, jnp.int32),
+        jnp.zeros((N,), bool),
+    )
+    R_cw, t_cw, s_cw = S_cw
+    init = (R_cw, t_cw, s_cw, count0, miss0, jnp.zeros((), jnp.int32), pay0)
+    carry, status = jax.lax.scan(round_fn, init, kfs)
+    R_cw, t_cw, s_cw, count, miss, state, pay = carry
+    fR, ft, fs, fn, fpt1, fpt2, fok = pay
+    packed = jnp.concatenate([
+        status.reshape(-1),
+        jnp.stack([state.astype(f32), count.astype(f32), miss.astype(f32)]),
+        R_cw.reshape(-1).astype(f32), t_cw.astype(f32),
+        s_cw.reshape(1).astype(f32),
+        fR.reshape(-1).astype(f32), ft.astype(f32), fs.reshape(1).astype(f32),
+        fn.reshape(1).astype(f32),
+        fpt1.astype(f32), fpt2.astype(f32), fok.astype(f32),
+    ])
+    return packed
+
+
+def _pad_bucket(xs):
+    """Pad an int list to the next power-of-two length with -1 (bounds
+    the number of compiled batch shapes to log2(max chunk KFs))."""
+    B = 1 << max(0, (len(xs) - 1).bit_length())
+    out = np.full((B,), -1, np.int32)
+    out[: len(xs)] = xs
+    return out
+
+
 class LoopCloser:
     """Host-side loop detection/correction orchestrator."""
 
@@ -703,6 +843,14 @@ class LoopCloser:
             jnp.asarray(self.min_score, jnp.float32),
             use_covisibility=self.use_covisibility,
         )))
+        return self._try_candidates(slam, new_kf, cand_ids, key)
+
+    def _try_candidates(self, slam, new_kf: int, cand_ids, key) -> bool:
+        """Sim3-verify precomputed retrieval candidates for ``new_kf``
+        (the RANSAC -> SearchBySim3 -> OptimizeSim3 ladder of
+        DetectCommonRegionsFromBoW, LoopClosing.cc:1596-1720); fires or
+        stashes a pending hypothesis exactly like ``try_close``."""
+        m = slam.map
         tried = set()
         for c in cand_ids:
             if c < 0 or int(c) in tried:
@@ -759,6 +907,119 @@ class LoopCloser:
             }
             return False
         return False
+
+    def try_close_batch(self, slam, new_kfs, key) -> bool:
+        """Loop-closure processing for ALL keyframes a chunk inserted in
+        (at most) two device dispatches on the common path: one
+        ``lax.scan`` over every pending-verification round and one
+        batched candidate detection — versus one ``try_close`` (itself
+        several dispatch+fetch cycles over the TPU tunnel) PER keyframe.
+        This is the round-5 fix for the measured ~520 ms/closure host
+        orchestration that held vi+lc below reference camera rate.
+
+        Semantics match calling ``try_close`` per keyframe in order; the
+        one (rare) divergence is that candidate detection for keyframes
+        AFTER a mid-batch fired closure sees the pre-PGO map — harmless,
+        because every candidate is still Sim3-verified against the
+        current map, and ``min_gap`` gates those keyframes anyway.
+        Returns True if any closure fired."""
+        new_kfs = [int(k) for k in new_kfs]
+        if not new_kfs:
+            return False
+        if self.auto_train_vocab:
+            self._poll_vocab_training(slam)
+        fired_any = False
+        start = 0
+        if self._pending is not None:
+            fired, start = self._advance_pending_batch(slam, new_kfs)
+            fired_any |= fired
+        rem = [
+            k for k in new_kfs[start:]
+            if k - self.last_closed_kf >= self.min_gap
+        ]
+        if not rem:
+            return fired_any
+        kfs_pad = _pad_bucket(rem)
+        cand_rows = np.asarray(jax.device_get(_detect_candidates_batch(
+            slam.map, jnp.asarray(kfs_pad),
+            jnp.asarray(slam.n_kf, jnp.int32), self.vocab,
+            jnp.asarray(self.min_gap, jnp.int32),
+            jnp.asarray(self.min_score, jnp.float32),
+            use_covisibility=self.use_covisibility,
+        )))
+        for r, k in enumerate(rem):
+            key, sub = jax.random.split(key)
+            if self._pending is not None:
+                # A hypothesis stashed earlier in this batch: verify it
+                # on this keyframe (sequential path — rare, bounded by
+                # the handful of keyframes one chunk inserts).
+                out = self._advance_pending(slam, k)
+                if out is not None:
+                    fired_any |= bool(out)
+                    continue
+                # None: hypothesis discarded — fall through to fresh
+                # detection for this same keyframe (precomputed row).
+            if k - self.last_closed_kf < self.min_gap:
+                continue
+            if (cand_rows[r] < 0).all():
+                continue
+            fired_any |= self._try_candidates(slam, k, cand_rows[r], sub)
+        return fired_any
+
+    def _advance_pending_batch(self, slam, new_kfs):
+        """Run every pending-verification round for this batch in ONE
+        dispatch + ONE packed fetch (``_verify_pending_scan``). Returns
+        ``(fired, consumed)`` where ``consumed`` is the number of leading
+        keyframes fully handled by the pending hypothesis — keyframes
+        from index ``consumed`` on still need fresh detection."""
+        p = self._pending
+        kfs_pad = _pad_bucket(new_kfs)
+        B = len(kfs_pad)
+        N = slam.map.N
+        packed = _verify_pending_scan(
+            slam.map, jnp.asarray(kfs_pad), jnp.asarray(p["cand"]),
+            p["S_cw"], slam.cam_params, slam.width, slam.height,
+            self.min_sim3_inliers,
+            jnp.asarray(p["count"], jnp.int32),
+            jnp.asarray(p["miss"], jnp.int32),
+            jnp.asarray(self.required_consistency, jnp.int32),
+        )
+        buf = np.asarray(jax.device_get(packed))
+        status = buf[: 4 * B].reshape(B, 4)
+        o = 4 * B
+        state, count, miss = (int(v) for v in buf[o : o + 3])
+        o += 3
+        S_R = buf[o : o + 9].reshape(3, 3); o += 9
+        S_t = buf[o : o + 3]; o += 3
+        S_s = buf[o]; o += 1
+        fR = buf[o : o + 9].reshape(3, 3); o += 9
+        ft = buf[o : o + 3]; o += 3
+        fs = buf[o]; o += 1
+        fn = int(buf[o]); o += 1
+        fpt1 = buf[o : o + N].astype(np.int32); o += N
+        fpt2 = buf[o : o + N].astype(np.int32); o += N
+        fok = buf[o : o + N] > 0.5
+        if state == 1:  # fired at round j
+            j = int(np.nonzero(status[:, 2] > 0.5)[0][0])
+            cand = p["cand"]
+            self._pending = None
+            self._apply_closure(
+                slam, new_kfs[j], cand,
+                jnp.asarray(fR, jnp.float32), jnp.asarray(ft, jnp.float32),
+                jnp.asarray(fs, jnp.float32), fn,
+                jnp.asarray(fpt1), jnp.asarray(fpt2), jnp.asarray(fok),
+            )
+            return True, j + 1
+        if state == 2:  # hypothesis died at round j (2 misses)
+            j = int(np.nonzero(status[:, 3] > 0.5)[0][0])
+            self._pending = None
+            return False, j  # keyframe j falls through to detection
+        p["count"], p["miss"] = count, miss
+        p["S_cw"] = (
+            jnp.asarray(S_R, jnp.float32), jnp.asarray(S_t, jnp.float32),
+            jnp.asarray(S_s, jnp.float32),
+        )
+        return False, len(new_kfs)
 
     def _advance_pending(self, slam, new_kf: int):
         """Verify the pending hypothesis against keyframe ``new_kf`` by

@@ -898,10 +898,9 @@ class MonoSlam:
             int(outs["ref"][i]) for i in range(len(p["tss"]))
             if bool(outs["is_kf"][i]) and bool(outs["alive"][i])
         ]
-        if self.loop_closer is not None:
-            for kf_id in new_kf_slots:
-                self.key, sub = jax.random.split(self.key)
-                self.loop_closer.try_close(self, kf_id, sub)
+        if self.loop_closer is not None and new_kf_slots:
+            self.key, sub = jax.random.split(self.key)
+            self.loop_closer.try_close_batch(self, new_kf_slots, sub)
         if self.atlas is not None and self.atlas.maps:
             for kf_id in new_kf_slots:
                 if kf_id % 4 == 0:

@@ -127,6 +127,52 @@ class TestLoopClosingE2E:
         assert rmse < 0.25, f"ATE {rmse:.3f} after closure"
 
 
+class TestChunkedClosure:
+    def test_batched_closure_in_chunk_mode(self):
+        """The chunked path routes a chunk's new keyframes through
+        ``LoopCloser.try_close_batch`` (one scan dispatch for pending
+        verification + one batched detection dispatch) — the closure
+        must fire and correct exactly as the sequential per-keyframe
+        path does (semantics of LoopClosing.cc:1108's keyframe queue)."""
+        n = 90
+        seq = synth.make_sequence(
+            n_frames=n, height=240, width=376, dt=0.1, seed=5,
+            trajectory="loop"
+        )
+        slam = MonoSlam(
+            height=240, width=376, cam_params=seq.cam_params,
+            n_features=1200, max_keyframes=48, max_points=6144,
+            kf_every=3, enable_loop_closing=True, track_window=8,
+        )
+        slam.loop_closer.min_gap = 8
+        slam.loop_closer.min_sim3_inliers = 15
+        chunk = 10
+        stack = jnp.asarray(
+            np.clip(np.stack(seq.images), 0, 255).astype(np.uint8)
+        )
+        i = 0
+        while i < n:
+            if slam.state == OK and slam._chunkable() and i + chunk <= n:
+                slam.process_frames((stack, i), seq.timestamps[i:i + chunk])
+                i += chunk
+            else:
+                slam.process_frame(seq.images[i], float(seq.timestamps[i]))
+                i += 1
+        slam.flush()
+        assert slam.state == OK
+        assert len(slam.loop_closer.closures) > 0, (
+            "no closure fired through the batched chunk path"
+        )
+        traj = slam.get_trajectory()
+        ts = np.asarray([t for t, _ in traj])
+        est = np.stack([T[:3, 3] for _, T in traj])
+        rmse, n_m, _ = ate_rmse(
+            ts, est, seq.timestamps.astype(np.float64), seq.t_wc
+        )
+        assert n_m >= 55
+        assert rmse < 0.25, f"chunked-closure ATE {rmse:.3f}"
+
+
 class TestTrainedVocabulary:
     def test_kmedians_improves_place_separation(self, rng):
         """A vocabulary trained on the observed descriptor distribution
