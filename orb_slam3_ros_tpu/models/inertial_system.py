@@ -677,7 +677,7 @@ class InertialSlam(MonoSlam):
         pk = np.concatenate([
             np.asarray(
                 [self.n_kf, self.n_pts, lkf, 1.0,
-                 self._ref_kf_inl if self._ref_kf_inl > 0 else -1,
+                 -1,  # ref_inl: reseed from the chunk's first frame
                  self.frame_id, off], np.float32,
             ),
             np.asarray(tss_np, np.float32),
@@ -802,9 +802,16 @@ class InertialSlam(MonoSlam):
                     (self.map.kf_R[last_slot], self.map.kf_t[last_slot])
                 )
             )
-            self.key, sub = jax.random.split(self.key)
-            if self.loop_closer.try_close_batch(self, new_kf_slots, sub):
-                moved = True
+            import os as _os
+            if _os.environ.get("ORB_TPU_SEQ_CLOSE"):
+                for kf_id in new_kf_slots:  # A/B: sequential reference
+                    self.key, sub = jax.random.split(self.key)
+                    if self.loop_closer.try_close(self, kf_id, sub):
+                        moved = True
+            else:
+                self.key, sub = jax.random.split(self.key)
+                if self.loop_closer.try_close_batch(self, new_kf_slots, sub):
+                    moved = True
         if (
             getattr(self, "atlas", None) is not None
             and self.atlas.maps
@@ -1026,9 +1033,9 @@ class InertialSlam(MonoSlam):
         """Whole VI keyframe iteration in one dispatch + one packed
         fetch (see _vi_kf_work)."""
         self._apply_kf_async(force=True)
-        # No abort_gba here: mbStopGBA is a loop-closure signal only
-        # (LoopClosing.cc:2512); per-frame keyframe cadence would
-        # otherwise cap every post-closure inertial GBA at ~one chunk.
+        # Snapshot-staleness bound — see MonoSlam._insert_keyframe for
+        # why the ADVICE-r4 "closure-only abort" semantics was reverted.
+        self.abort_gba()
         if self.on_frame is not None:
             self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))
         feats_d, feat_pt = self._to_map_dev((feats, track_res.feat_pt))
@@ -1383,26 +1390,36 @@ class InertialSlam(MonoSlam):
             self._vi_anchor = None
             self._vi_prior = None
             return
-        # Anchor keyframe r = last keyframe the solve saw: its pre/post
-        # poses define the world correction applied to everything created
-        # during the solve (and to the tracker's current pose below).
-        # self._gba is cleared only AFTER the fold-in completes: a raise
-        # mid-fold (e.g. device OOM during a closure storm) must not
-        # silently drop the partial solve for `while self._gba` callers.
-        r = g["n_kf0"] - 1
-        pre = np.asarray(jax.device_get(jnp.concatenate(
-            [self.map.kf_R[r].reshape(-1), self.map.kf_t[r]]
-        )))
-        self.map = local_mapping.apply_vi_gba_partial(
-            self.map, g["window_ids"], g["res"], self.calib,
-            jnp.asarray(g["n_kf0"], jnp.int32), kf_obs0=g["obs0"],
-        )
-        self.map = map_updates.refresh_point_stats(
-            self.map, n_levels=self.config.n_levels
-        )
-        post = np.asarray(jax.device_get(jnp.concatenate(
-            [self.map.kf_R[r].reshape(-1), self.map.kf_t[r]]
-        )))
+        # The handle is cleared BEFORE the fold-in: the fold-in path can
+        # re-enter _poll_gba (map reset on a bad IMU check, replica
+        # sync), and a still-set self._gba would re-apply the correction
+        # — a double fold-in silently corrupts every pose. The advisor's
+        # dropped-solve concern (r4 #4) is handled by RESTORING the
+        # handle if the fold-in raises, so `while self._gba` callers
+        # still see the pending solve instead of a silent abandon.
+        self._gba = None
+        try:
+            # Anchor keyframe r = last keyframe the solve saw: its
+            # pre/post poses define the world correction applied to
+            # everything created during the solve (and to the tracker's
+            # current pose below).
+            r = g["n_kf0"] - 1
+            pre = np.asarray(jax.device_get(jnp.concatenate(
+                [self.map.kf_R[r].reshape(-1), self.map.kf_t[r]]
+            )))
+            self.map = local_mapping.apply_vi_gba_partial(
+                self.map, g["window_ids"], g["res"], self.calib,
+                jnp.asarray(g["n_kf0"], jnp.int32), kf_obs0=g["obs0"],
+            )
+            self.map = map_updates.refresh_point_stats(
+                self.map, n_levels=self.config.n_levels
+            )
+            post = np.asarray(jax.device_get(jnp.concatenate(
+                [self.map.kf_R[r].reshape(-1), self.map.kf_t[r]]
+            )))
+        except Exception:
+            self._gba = g  # keep the solve visible; caller may retry
+            raise
         Rr_o, tr_o = pre[:9].reshape(3, 3), pre[9:]
         Rr_n, tr_n = post[:9].reshape(3, 3), post[9:]
         # Tcw_cur' = (Tcw_cur * Twc_r_old) * Tcw_r_new — the tracker rides
@@ -1413,7 +1430,6 @@ class InertialSlam(MonoSlam):
         self.R_cur = (R_cr @ Rr_n).astype(np.float32)
         self.t_cur = (R_cr @ tr_n + t_cr).astype(np.float32)
         self.v_cur = ((Rr_n.T @ Rr_o) @ self.v_cur).astype(np.float32)
-        self._gba = None
         self._ref_cache = None
         self._sync_replica()
         self._vi_dev_state = None

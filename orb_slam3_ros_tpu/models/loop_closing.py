@@ -409,7 +409,8 @@ def _fuse_duplicates(m: ms.MapState, pt1, pt2, pair_ok):
     return m._replace(kf_obs=new_obs, pt_valid=m.pt_valid & ~killed)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "min_inliers"))
+@partial(jax.jit,
+         static_argnames=("width", "height", "min_inliers", "fix_scale"))
 def _verify_pending_fused(
     m: ms.MapState,
     new_kf: jnp.ndarray,
@@ -419,6 +420,7 @@ def _verify_pending_fused(
     width: int,
     height: int,
     min_inliers: int,
+    fix_scale: bool = False,
 ):
     """Fused pending-hypothesis verification: propagate the stored
     world->candidate Sim3 through the new keyframe's pose, grow matches
@@ -436,6 +438,7 @@ def _verify_pending_fused(
     res = sim3solver.refine_sim3(
         X1, X2, okg, cam_params, scj, Rcj, tcj,
         min_inliers=min_inliers, sigma2_1=sig1, sigma2_2=sig2,
+        fix_scale=fix_scale,
     )
     S_cw_new = lie.sim3_mul(
         res.R, res.t, res.s, m.kf_R[new_kf], m.kf_t[new_kf], one
@@ -516,7 +519,8 @@ def _detect_candidates_batch(
     return jax.vmap(one)(new_kfs)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "min_inliers"))
+@partial(jax.jit,
+         static_argnames=("width", "height", "min_inliers", "fix_scale"))
 def _verify_pending_scan(
     m: ms.MapState,
     kfs: jnp.ndarray,  # [B] new keyframes, padded with -1
@@ -529,6 +533,7 @@ def _verify_pending_scan(
     count0: jnp.ndarray,
     miss0: jnp.ndarray,
     required: jnp.ndarray,
+    fix_scale: bool = False,
 ):
     """ALL pending-hypothesis verification rounds for a chunk's new
     keyframes in ONE dispatch (``lax.scan`` over the rounds) + ONE
@@ -559,6 +564,7 @@ def _verify_pending_scan(
         res = sim3solver.refine_sim3(
             X1, X2, okg, cam_params, scj, Rcj, tcj,
             min_inliers=min_inliers, sigma2_1=sig1, sigma2_2=sig2,
+            fix_scale=fix_scale,
         )
         hit = run & res.ok
         count2 = jnp.where(hit, count + 1, count)
@@ -851,6 +857,12 @@ class LoopCloser:
         DetectCommonRegionsFromBoW, LoopClosing.cc:1596-1720); fires or
         stashes a pending hypothesis exactly like ``try_close``."""
         m = slam.map
+        # Inertial maps have METRIC scale: fix s=1 in the Sim3 solve
+        # (the reference's bFixedScale for IMU maps, LoopClosing.cc:1671
+        # Sim3Solver with mbFixScale / OptimizeSim3 bFixScale) — a
+        # scale-free fit on a metric map is the classic source of
+        # geometrically-wrong accepted closures.
+        fs = bool(getattr(slam, "imu_initialized", False))
         tried = set()
         for c in cand_ids:
             if c < 0 or int(c) in tried:
@@ -864,7 +876,7 @@ class LoopCloser:
             res = sim3solver.solve_sim3(
                 X1, X2, ok, slam.cam_params, key,
                 min_inliers=self.min_sim3_inliers,
-                sigma2_1=sig1, sigma2_2=sig2,
+                sigma2_1=sig1, sigma2_2=sig2, fix_scale=fs,
             )
             if not bool(jax.device_get(res.ok)):
                 # RANSAC found a plausible but under-supported Sim3: grow
@@ -885,7 +897,7 @@ class LoopCloser:
                 res = sim3solver.refine_sim3(
                     X1g, X2g, okg, slam.cam_params, res.s, res.R, res.t,
                     min_inliers=self.min_sim3_inliers,
-                    sigma2_1=sig1g, sigma2_2=sig2g,
+                    sigma2_1=sig1g, sigma2_2=sig2g, fix_scale=fs,
                 )
                 if not bool(jax.device_get(res.ok)):
                     continue
@@ -983,6 +995,7 @@ class LoopCloser:
             jnp.asarray(p["count"], jnp.int32),
             jnp.asarray(p["miss"], jnp.int32),
             jnp.asarray(self.required_consistency, jnp.int32),
+            fix_scale=bool(getattr(slam, "imu_initialized", False)),
         )
         buf = np.asarray(jax.device_get(packed))
         status = buf[: 4 * B].reshape(B, 4)
@@ -1036,6 +1049,7 @@ class LoopCloser:
             m, jnp.asarray(new_kf), jnp.asarray(p["cand"]), p["S_cw"],
             slam.cam_params, slam.width, slam.height,
             self.min_sim3_inliers,
+            fix_scale=bool(getattr(slam, "imu_initialized", False)),
         )
         buf = np.asarray(jax.device_get(packed))
         if bool(buf[0] > 0.5):

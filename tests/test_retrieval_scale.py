@@ -79,6 +79,54 @@ class TestHierVocabulary:
         )
 
 
+class TestDefaultVocabulary:
+    """The shipped pretrained vocabulary (scripts/train_default_vocab.py,
+    the reference's offline-ORBvoc role, System.cc:114) must exist, load
+    by default, and discriminate places on scenes it never saw —
+    cold-start retrieval without ``train_vocabulary_from_map``."""
+
+    def test_ships_and_loads_by_default(self):
+        v = retrieval.default_vocabulary()
+        assert v is not None, "default_vocab.npz missing from the package"
+        assert v.shape[1] == 256 and v.shape[0] >= 512
+        assert set(np.unique(v)) <= {-1, 1}
+        from orb_slam3_ros_tpu.models.system import MonoSlam
+
+        cam = np.asarray([200.0, 200.0, 96.0, 64.0, 0, 0, 0, 0, 0],
+                         np.float32)
+        s = MonoSlam(height=128, width=192, cam_params=cam, n_features=200,
+                     max_keyframes=8, max_points=256,
+                     enable_loop_closing=True)
+        assert s.vocab is not None and s.vocab.shape == v.shape
+        assert s.loop_closer.vocab is not None
+
+    def test_cold_start_discrimination_on_unseen_scenes(self, two_rooms):
+        """On rooms OUTSIDE the training corpus (seeds 3/11 vs the
+        trained 20..27), the pretrained vocabulary must separate a
+        same-room revisit from the best cross-room alias at least as
+        well as the random anchors the cold start otherwise uses."""
+        room_a, room_b = two_rooms
+
+        def margin(vocab):
+            def sig(d, v):
+                return np.asarray(retrieval.signature(
+                    jnp.asarray(d), jnp.asarray(v),
+                    jnp.asarray(vocab) if vocab is not None else None,
+                ))
+
+            sa = [sig(d, v) for d, v in room_a]
+            sb = [sig(d, v) for d, v in room_b]
+            q = sa[8]
+            same = max(float(q @ s) for s in sa[:5])
+            cross = max(float(q @ s) for s in sb)
+            return same - cross
+
+        m_default = margin(retrieval.default_vocabulary())
+        m_anchors = margin(None)
+        assert m_default > 0, f"default vocab margin {m_default:.3f}"
+        assert m_default >= m_anchors - 0.02, (m_default, m_anchors)
+
+
 @pytest.mark.slow
 class TestThresholdCalibration:
     """Data-driven calibration of the loop-closer's ``min_score``
