@@ -1108,11 +1108,17 @@ class LoopCloser:
             pi, pj, pR, pt, ps, pv,
             four_dof=four_dof,
         )
+        # ONE packed fetch for everything the host needs (loop edge +
+        # corrected tracker pose): each separate device_get costs a full
+        # ~20-55 ms round trip over the TPU tunnel, and this path held
+        # 5 of them per closure.
+        buf = np.asarray(jax.device_get(jnp.concatenate([
+            jnp.asarray(loop_R).reshape(-1), jnp.asarray(loop_t),
+            jnp.asarray(loop_s).reshape(1),
+            slam.map.kf_R[new_kf].reshape(-1), slam.map.kf_t[new_kf],
+        ])))
         self._record_loop_edge(
-            new_kf, cand,
-            np.asarray(jax.device_get(loop_R)),
-            np.asarray(jax.device_get(loop_t)),
-            float(jax.device_get(loop_s)),
+            new_kf, cand, buf[0:9].reshape(3, 3), buf[9:12], float(buf[12]),
         )
         if self.dump_dir:
             self._dump_problem(slam, slam.map, new_kf, cand, res, "post")
@@ -1137,9 +1143,11 @@ class LoopCloser:
         )
         self.last_closed_kf = new_kf
         self.closures.append((new_kf, cand, n_inliers))
-        # Refresh the tracker's current pose from the corrected KF.
-        slam.R_cur = np.asarray(jax.device_get(slam.map.kf_R[new_kf]))
-        slam.t_cur = np.asarray(jax.device_get(slam.map.kf_t[new_kf]))
+        # Refresh the tracker's current pose from the corrected KF
+        # (already in the packed fetch — welds/stat refresh/GBA snapshot
+        # do not move keyframe poses).
+        slam.R_cur = np.asarray(buf[13:22].reshape(3, 3), np.float32)
+        slam.t_cur = np.asarray(buf[22:25], np.float32)
         slam.vel_R = np.eye(3, dtype=np.float32)
         slam.vel_t = np.zeros(3, np.float32)
         return True

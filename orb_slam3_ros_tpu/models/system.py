@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import time
 from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 from typing import Optional
 
 import jax
@@ -66,6 +67,60 @@ def _reloc_pnp_inputs(m, kf, feats):
     X = m.pt_X[jnp.clip(pt, 0, m.P - 1)]
     uv = feats.xy[jnp.clip(idx, 0, m.N - 1)]
     return X, uv, ok
+
+
+@jax.jit
+def _reloc_detect_fused(m, desc_sign, valid, vocab):
+    """Fused relocalization candidate detection — signatures, query
+    signature, covisibility, and the grouped ranking
+    (DetectRelocalizationCandidates, KeyFrameDatabase.cc:733-856) in ONE
+    dispatch. The previous eager op-by-op flow cost seconds per lost
+    frame over the TPU tunnel (each op a round trip), which turned every
+    loss episode into a multi-second stall."""
+    from . import map_state as _ms
+    from ..ops import retrieval as _retrieval
+
+    sigs = _retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid, vocab)
+    q = _retrieval.signature(desc_sign, valid, vocab)
+    cov = _ms.covisibility(m)
+    cand, _ = _retrieval.detect_candidates_grouped(
+        q, sigs, cov, m.kf_valid, jnp.zeros((m.K,), bool),
+        min_common_score=0.0,
+    )
+    return cand
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cam_model"))
+def _reloc_attempt_fused(m, cand, feats, key, cam_params, width, height,
+                         cam_model="pinhole"):
+    """One relocalization attempt against candidate ``cand`` in ONE
+    dispatch: SearchByBoW-style 2D-3D matching, PnP RANSAC seed (falling
+    back to the candidate's own pose when under-supported), and
+    projection tracking against the map (Tracking::Relocalization,
+    Tracking.cc:3648-3760). Returns (R, t, packed[13]) — one fetch."""
+    from ..ops import pnp as _pnp
+
+    R0 = m.kf_R[cand]
+    t0 = m.kf_t[cand]
+    X, uv, ok = _reloc_pnp_inputs(m, cand, feats)
+    if cam_model == "kb8":
+        fx = cam_params[0]
+        uv = cameras.kb8_unproject(cam_params, uv)[:, :2] * fx
+        pnp_cam = jnp.zeros((9,), cam_params.dtype).at[0].set(fx).at[1].set(fx)
+    else:
+        pnp_cam = cam_params
+    pres = _pnp.solve_pnp(X, uv, ok, pnp_cam, key)
+    use = pres.ok & (ok.sum() >= 15)
+    R0 = jnp.where(use, pres.R, R0)
+    t0 = jnp.where(use, pres.t, t0)
+    res = tracking.track_against_map(
+        m, feats, R0, t0, cam_params, width, height, cam_model=cam_model,
+    )
+    packed = jnp.concatenate([
+        res.R.reshape(-1), res.t,
+        res.n_inliers.reshape(1).astype(res.t.dtype),
+    ])
+    return packed
 
 
 class MonoSlam:
@@ -1071,51 +1126,35 @@ class MonoSlam:
         candidate keyframe's bound landmarks feed a batched PnP RANSAC
         whose pose seeds the coarse-to-fine projection tracker; if PnP
         finds no support the candidate's own pose is the fallback seed."""
-        from ..ops import pnp, retrieval
+        from ..ops import retrieval
 
         self._apply_kf_async(force=True)
         if self.n_kf < 2:
             return None
         feats = self._to_map_dev(feats)
-        sigs = retrieval.kf_signatures(
-            self.map.kf_desc_sign, self.map.kf_feat_valid, self.vocab
-        )
-        q = retrieval.signature(feats.desc_sign, feats.valid, self.vocab)
         # Covisibility-boosted candidate ranking — the contract of
         # KeyFrameDatabase::DetectRelocalizationCandidates
-        # (KeyFrameDatabase.cc:733-856): a candidate is scored by its
-        # covisible GROUP's accumulated similarity, so one aliased
-        # keyframe can't outrank a consistently-similar neighborhood.
-        cand_ids, _ = retrieval.detect_candidates_grouped(
-            q, sigs, map_state.covisibility(self.map), self.map.kf_valid,
-            jnp.zeros((self.K_cap,), bool), min_common_score=0.0,
-        )
-        for c in np.asarray(jax.device_get(cand_ids)):
+        # (KeyFrameDatabase.cc:733-856) — as ONE fused dispatch + fetch.
+        vocab = (self.vocab if self.vocab is not None
+                 else jnp.asarray(retrieval.ANCHORS))
+        cand_ids = np.asarray(jax.device_get(_reloc_detect_fused(
+            self.map, feats.desc_sign, feats.valid, vocab
+        )))
+        for c in cand_ids:
             if c < 0:
                 continue
-            R0 = self.map.kf_R[int(c)]
-            t0_ = self.map.kf_t[int(c)]
-            X, uv, ok = _reloc_pnp_inputs(self.map, jnp.asarray(int(c)), feats)
-            pnp_cam = self.cam_params
-            if self.cam_model == "kb8":
-                fx = float(np.asarray(self.cam_params)[0])
-                uv = cameras.kb8_unproject(self.cam_params, uv)[:, :2] * fx
-                pnp_cam = jnp.asarray(
-                    [fx, fx, 0.0, 0.0, 0, 0, 0, 0, 0], jnp.float32
-                )
-            if int(jax.device_get(ok.sum())) >= 15:
-                self.key, sub = jax.random.split(self.key)
-                pres = pnp.solve_pnp(X, uv, ok, pnp_cam, sub)
-                if bool(jax.device_get(pres.ok)):
-                    R0, t0_ = pres.R, pres.t
-            res = tracking.track_against_map(
-                self.map, feats, R0, t0_, self.cam_params,
-                self.width, self.height, cam_model=self.cam_model,
-            )
-            n_inl, R_new, t_new = jax.device_get((res.n_inliers, res.R, res.t))
+            # Whole attempt (match -> PnP seed -> projection tracking)
+            # as ONE dispatch + ONE 13-float fetch.
+            self.key, sub = jax.random.split(self.key)
+            buf = np.asarray(jax.device_get(_reloc_attempt_fused(
+                self.map, jnp.asarray(int(c)), feats, sub,
+                self.cam_params, self.width, self.height,
+                cam_model=self.cam_model,
+            )))
+            R_new, t_new, n_inl = buf[:9].reshape(3, 3), buf[9:12], buf[12]
             if int(n_inl) >= 30:
-                self.R_cur = np.asarray(R_new)
-                self.t_cur = np.asarray(t_new)
+                self.R_cur = np.asarray(R_new, np.float32)
+                self.t_cur = np.asarray(t_new, np.float32)
                 self.vel_R = np.eye(3, dtype=np.float32)
                 self.vel_t = np.zeros(3, np.float32)
                 self.state = OK

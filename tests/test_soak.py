@@ -89,8 +89,15 @@ class TestSoak:
         # equilibrium instead of growing without bound).
         assert inserted["n"] >= 60, f"only {inserted['n']} KFs inserted"
         assert slam.n_kf <= 256
-        # Vocabulary training started and re-triggered at a doubling.
-        assert retrains["n"] >= 2, f"vocab training submissions: {retrains['n']}"
+        # Retrieval vocabulary: with the shipped pretrained vocabulary
+        # installed (the reference's offline-ORBvoc model, System.cc:114)
+        # online training is a cold-start fallback only — each retrain
+        # changes the vocab shape and recompiles the detection programs
+        # mid-session. Either the pretrained vocab is active, or the
+        # fallback trained + re-triggered at a doubling.
+        assert slam.vocab is not None or retrains["n"] >= 2, (
+            f"no vocabulary: retrains={retrains['n']}"
+        )
         # Genuine drift-correcting closures fired (first revolutions);
         # their loop edges persist in the growable store.
         assert len(lc.closures) >= 2, f"closures: {lc.closures}"
