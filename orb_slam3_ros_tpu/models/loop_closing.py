@@ -463,7 +463,16 @@ def _detect_candidates_fused(
     grouped accumulation (DetectNBestCandidates) AND the plain
     individual ranking in one program; returns their concatenated id
     lists [2*n_best]. The plain ranking covers self-similar scenes where
-    group accumulation crowds out the true revisit."""
+    group accumulation crowds out the true revisit.
+
+    The score floor is ADAPTIVE, exactly the reference's contract
+    (LoopClosing: minScore = lowest similarity between the current KF
+    and its covisible neighbors, then
+    KeyFrameDatabase::DetectLoopCandidates rejects anything below it,
+    KeyFrameDatabase.cc:604-680): a fixed threshold cannot survive a
+    vocabulary change — under the shipped generic vocabulary the
+    false-place ceiling measured ABOVE any usable fixed gate, while a
+    true revisit always scores like the query's own neighborhood."""
     sigs = retrieval.kf_signatures(m.kf_desc_sign, m.kf_feat_valid, vocab)
     q = sigs[new_kf]
     ids = jnp.arange(m.K)
@@ -471,13 +480,31 @@ def _detect_candidates_fused(
     cov = ms.covisibility(m)
     if use_covisibility:
         exclude = exclude | (cov[new_kf] > 10)
+    thr = _adaptive_min_score(q, sigs, cov[new_kf], m.kf_valid, ids, n_kf,
+                              new_kf, min_score)
     cand_g, _ = retrieval.detect_candidates_grouped(
-        q, sigs, cov, m.kf_valid, exclude, min_common_score=min_score
+        q, sigs, cov, m.kf_valid, exclude, min_common_score=thr
     )
     cand_f, _ = retrieval.detect_candidates(
-        q, sigs, m.kf_valid, exclude, min_common_score=min_score
+        q, sigs, m.kf_valid, exclude, min_common_score=thr
     )
     return jnp.concatenate([cand_g, cand_f])
+
+
+def _adaptive_min_score(q, sigs, cov_row, kf_valid, ids, n_kf, new_kf,
+                        min_score):
+    """minScore role (LoopClosing.cc:1360-1380 via
+    KeyFrameDatabase::DetectLoopCandidates): the floor a candidate must
+    clear is the LOWEST similarity between the query keyframe and its
+    strongly-covisible neighbors — self-calibrating under any
+    vocabulary. Falls back to the fixed ``min_score`` when the query has
+    no covisible neighbors yet."""
+    neigh = (cov_row >= 15) & kf_valid & (ids < n_kf) & (ids != new_kf)
+    s = retrieval.score_against(q, sigs)
+    s_n = jnp.where(neigh, s, jnp.inf)
+    min_cov = jnp.min(s_n)
+    has = jnp.isfinite(min_cov)
+    return jnp.maximum(min_score, jnp.where(has, min_cov, min_score))
 
 
 @partial(jax.jit, static_argnames=("use_covisibility",))
@@ -507,11 +534,13 @@ def _detect_candidates_batch(
         exclude = (ids > nkc - min_gap) | (ids >= n_kf)
         if use_covisibility:
             exclude = exclude | (cov[nkc] > 10)
+        thr = _adaptive_min_score(q, sigs, cov[nkc], m.kf_valid, ids,
+                                  n_kf, nkc, min_score)
         cand_g, _ = retrieval.detect_candidates_grouped(
-            q, sigs, cov, m.kf_valid, exclude, min_common_score=min_score
+            q, sigs, cov, m.kf_valid, exclude, min_common_score=thr
         )
         cand_f, _ = retrieval.detect_candidates(
-            q, sigs, m.kf_valid, exclude, min_common_score=min_score
+            q, sigs, m.kf_valid, exclude, min_common_score=thr
         )
         out = jnp.concatenate([cand_g, cand_f])
         return jnp.where(nk >= 0, out, -1)

@@ -846,10 +846,12 @@ class MonoSlam:
             pk = _np.concatenate([
                 self.R_cur.reshape(-1), self.t_cur.reshape(-1),
                 self.vel_R.reshape(-1), self.vel_t.reshape(-1),
+                # ref_inl -1: the thRefRatio bar reseeds from the
+                # chunk's first frame (same decision as the VI pack —
+                # the carried bar ratchets high and densifies keyframes
+                # into weak-parallax windows; measured destabilizing).
                 _np.asarray([self.n_kf, self.n_pts, lkf,
-                             1.0,
-                             self._ref_kf_inl if self._ref_kf_inl > 0
-                             else -1,
+                             1.0, -1,
                              self.frame_id, off], _np.float32),
                 _np.asarray(tss, _np.float32),
             ]).astype(_np.float32)
@@ -870,10 +872,8 @@ class MonoSlam:
                     self.frame_id + (1 << 22) if self.localization_only
                     else self.last_kf_frame, jnp.int32),
                 alive=jnp.asarray(True),
-                ref_inl=jnp.asarray(
-                    self._ref_kf_inl if self._ref_kf_inl > 0 else -1,
-                    jnp.int32,
-                ),
+                # reseed from the chunk's first frame (see packed path)
+                ref_inl=jnp.full((), -1, jnp.int32),
             )
             fids = jnp.arange(len(tss), dtype=jnp.int32) + self.frame_id
             if isinstance(imgs, jnp.ndarray):

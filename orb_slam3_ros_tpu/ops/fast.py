@@ -56,16 +56,10 @@ def _has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
     return (r & jnp.uint32(0xFFFF)) != 0
 
 
-def fast_score_map(img: jnp.ndarray, threshold: float):
-    """(corner_mask [H,W] bool, score [H,W] f32) for one threshold.
-
-    Score is the sum of |p_i - c| - t over the circle pixels exceeding the
-    threshold (the usual FAST "V" response used for NMS ordering; the
-    reference relies on OpenCV's score only to order corners inside
-    DistributeOctTree, ORBextractor.cc:443-446)."""
-    circ = _circle_stack(img)  # [16, ..., H, W]
-    c = img[None]
-    diff = circ - c
+def _score_from_diff(diff: jnp.ndarray, threshold: float):
+    """(corner_mask, score) from a precomputed circle-difference stack
+    ``diff [16, ..., H, W]`` — lets the two-threshold combined map share
+    ONE set of rolls/differences between thresholds."""
     brighter = diff > threshold
     darker = diff < -threshold
     bits = jnp.uint32(1) << jnp.arange(16, dtype=jnp.uint32)
@@ -76,6 +70,17 @@ def fast_score_map(img: jnp.ndarray, threshold: float):
     excess = jnp.maximum(jnp.abs(diff) - threshold, 0.0)
     score = jnp.sum(jnp.where(brighter | darker, excess, 0.0), axis=0)
     return corner, score
+
+
+def fast_score_map(img: jnp.ndarray, threshold: float):
+    """(corner_mask [H,W] bool, score [H,W] f32) for one threshold.
+
+    Score is the sum of |p_i - c| - t over the circle pixels exceeding the
+    threshold (the usual FAST "V" response used for NMS ordering; the
+    reference relies on OpenCV's score only to order corners inside
+    DistributeOctTree, ORBextractor.cc:443-446)."""
+    circ = _circle_stack(img)  # [16, ..., H, W]
+    return _score_from_diff(circ - img[None], threshold)
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -96,9 +101,12 @@ def score_map_combined(
     reference re-runs cv::FAST at minThFAST only in cells that found
     nothing at iniThFAST, ORBextractor.cc:829-838). Returns [H, W] f32
     with -inf at non-corners. Works batched over leading dims (rolls act
-    on the last two axes)."""
-    corner_hi, score_hi = fast_score_map(img, ini_threshold)
-    corner_lo, score_lo = fast_score_map(img, min_threshold)
+    on the last two axes). The circle stack (16 rolled copies + the
+    center differences — the dominant HBM traffic of FAST) is computed
+    ONCE and shared between the two thresholds."""
+    diff = _circle_stack(img) - img[None]
+    corner_hi, score_hi = _score_from_diff(diff, ini_threshold)
+    corner_lo, score_lo = _score_from_diff(diff, min_threshold)
     return jnp.where(
         corner_hi, score_hi + SCORE_BUMP, jnp.where(corner_lo, score_lo, -jnp.inf)
     )

@@ -149,6 +149,83 @@ def _integrate_step(state: Preintegrated, meas, nga: jnp.ndarray, nga_walk: jnp.
     return new_state, None
 
 
+def preintegrate_sequential(
+    acc: jnp.ndarray,
+    gyro: jnp.ndarray,
+    dts: jnp.ndarray,
+    b_lin: jnp.ndarray,
+    calib: ImuCalib,
+) -> Preintegrated:
+    """Sequential ``lax.scan`` integration (the direct transcription of
+    the reference's ``Reintegrate`` loop, ImuTypes.cc:168) — kept as the
+    parity reference for ``preintegrate``'s tree reduction."""
+    nga = jnp.concatenate([calib.sigma_g**2, calib.sigma_a**2])
+    nga_walk = jnp.concatenate([calib.sigma_gw**2, calib.sigma_aw**2])
+    state0 = init_preintegrated(b_lin, dtype=acc.dtype)
+
+    def step(s, m):
+        return _integrate_step(s, m, nga, nga_walk)
+
+    state, _ = jax.lax.scan(step, state0, (acc, gyro, dts))
+    return state
+
+
+def _compose_preint(a, b):
+    """EXACT composition of two preintegrated segments (A then B, same
+    linearization bias) — the algebra behind the reference's
+    ``MergePrevious`` (ImuTypes.cc:125-166), with covariance and bias
+    Jacobians composed in closed form. Exactness (bitwise-equal modulo
+    reassociation) against the per-sample recursion follows from
+    hat(R a) = R hat(a) R^T: the step-transition products collapse to
+    -hat(dV_B)/-hat(dP_B) blocks. Elements are dicts of stacked arrays
+    with leading batch dims (used pairwise inside the tree reduction).
+    """
+    dR_A, dV_A, dP_A, dT_A = a["dR"], a["dV"], a["dP"], a["dT"]
+    dR_B, dV_B, dP_B, dT_B = b["dR"], b["dV"], b["dP"], b["dT"]
+    mm = lambda x, y: jnp.einsum("...ij,...jk->...ik", x, y)
+    mv = lambda x, y: jnp.einsum("...ij,...j->...i", x, y)
+    tT = lambda x: jnp.swapaxes(x, -1, -2)
+    hat = lambda v: lie.hat(v) if v.ndim == 1 else jax.vmap(lie.hat)(
+        v.reshape(-1, 3)).reshape(v.shape[:-1] + (3, 3))
+    e = dT_B[..., None]
+    dV = dV_A + mv(dR_A, dV_B)
+    dP = dP_A + dV_A * e + mv(dR_A, dP_B)
+    hV = hat(dV_B)
+    hP = hat(dP_B)
+    JRg = mm(tT(dR_B), a["JRg"]) + b["JRg"]
+    JVa = a["JVa"] + mm(dR_A, b["JVa"])
+    JVg = a["JVg"] + mm(dR_A, b["JVg"]) - mm(dR_A, mm(hV, a["JRg"]))
+    JPa = a["JPa"] + a["JVa"] * e[..., None] + mm(dR_A, b["JPa"])
+    JPg = (a["JPg"] + a["JVg"] * e[..., None] + mm(dR_A, b["JPg"])
+           - mm(dR_A, mm(hP, a["JRg"])))
+    # 9x9 error-state composition: C = F C_A F^T + T C_B T^T with
+    # F = [[dR_B^T,0,0],[-dR_A hat(dV_B),I,0],[-dR_A hat(dP_B),dT_B,I]]
+    # and T = diag(I, dR_A, dR_A).
+    batch = dR_A.shape[:-2]
+    I3 = jnp.broadcast_to(jnp.eye(3, dtype=dR_A.dtype), batch + (3, 3))
+    Z3 = jnp.zeros(batch + (3, 3), dR_A.dtype)
+    eI = I3 * e[..., None]
+    F = jnp.concatenate([
+        jnp.concatenate([tT(dR_B), Z3, Z3], axis=-1),
+        jnp.concatenate([-mm(dR_A, hV), I3, Z3], axis=-1),
+        jnp.concatenate([-mm(dR_A, hP), eI, I3], axis=-1),
+    ], axis=-2)
+    T = jnp.concatenate([
+        jnp.concatenate([I3, Z3, Z3], axis=-1),
+        jnp.concatenate([Z3, dR_A, Z3], axis=-1),
+        jnp.concatenate([Z3, Z3, dR_A], axis=-1),
+    ], axis=-2)
+    CA9 = a["C9"]
+    CB9 = b["C9"]
+    C9 = mm(F, mm(CA9, tT(F))) + mm(T, mm(CB9, tT(T)))
+    return dict(
+        dR=lie.normalize_rotation(mm(dR_A, dR_B)),
+        dV=dV, dP=dP, dT=dT_A + dT_B,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa,
+        C9=C9, Cw=a["Cw"] + b["Cw"],
+    )
+
+
 def preintegrate(
     acc: jnp.ndarray,
     gyro: jnp.ndarray,
@@ -165,18 +242,82 @@ def preintegrate(
       b_lin: [6] linearization bias [bg, ba].
       calib: noise calibration.
 
-    Equivalent to the reference's ``Reintegrate`` loop (ImuTypes.cc:168)
-    but as one compiled ``lax.scan`` with a static buffer size.
+    The reference's ``Reintegrate`` loop (ImuTypes.cc:168) is a strictly
+    sequential per-sample recursion; on TPU a 64-256-step ``lax.scan``
+    of tiny 3x3/9x9 ops is latency-bound and dominated the measured
+    keyframe-body cost (build_vi_ba re-scans W windows). Preintegration
+    composes associatively (segment merge — the MergePrevious algebra),
+    so this runs as a log2(N)-depth TREE REDUCTION: per-sample segment
+    stats once, then pairwise ``_compose_preint`` halvings, all
+    vectorized on the VPU. Matches ``preintegrate_sequential`` to
+    reassociation tolerance (tests/test_imu_cameras.py).
     """
-    nga = jnp.concatenate([calib.sigma_g**2, calib.sigma_a**2])
-    nga_walk = jnp.concatenate([calib.sigma_gw**2, calib.sigma_aw**2])
-    state0 = init_preintegrated(b_lin, dtype=acc.dtype)
-
-    def step(s, m):
-        return _integrate_step(s, m, nga, nga_walk)
-
-    state, _ = jax.lax.scan(step, state0, (acc, gyro, dts))
-    return state
+    dtype = acc.dtype
+    N = acc.shape[0]
+    nga = jnp.concatenate([calib.sigma_g**2, calib.sigma_a**2]).astype(dtype)
+    nga_walk = jnp.concatenate(
+        [calib.sigma_gw**2, calib.sigma_aw**2]
+    ).astype(dtype)
+    bg, ba = b_lin[:3], b_lin[3:]
+    a_c = acc - ba
+    w_c = gyro - bg
+    dt = dts.astype(dtype)
+    active = (dt > 0).astype(dtype)
+    # Per-sample standalone segment stats (prefix rotation = identity).
+    phi = w_c * dt[:, None]
+    dRi = jax.vmap(lie.so3_exp)(phi)
+    rJ = jax.vmap(lie.so3_right_jacobian)(phi)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (N, 3, 3))
+    dtc = dt[:, None, None]
+    # dt == 0 rows must be the identity element.
+    dR = jnp.where(dtc > 0, dRi, eye)
+    dV = a_c * (dt * active)[:, None]
+    dP = 0.5 * a_c * (dt * dt * active)[:, None]
+    JRg = -rJ * dtc * (dtc > 0)
+    JVa = -eye * dtc
+    JVg = jnp.zeros((N, 3, 3), dtype)
+    JPa = -0.5 * eye * dtc * dtc
+    JPg = jnp.zeros((N, 3, 3), dtype)
+    B = jnp.zeros((N, 9, 6), dtype)
+    B = B.at[:, 0:3, 0:3].set(rJ * dtc)
+    B = B.at[:, 3:6, 3:6].set(eye * dtc)
+    B = B.at[:, 6:9, 3:6].set(0.5 * eye * dtc * dtc)
+    C9 = jnp.einsum("nij,j,nkj->nik", B, nga, B) * (dtc > 0)
+    Cw = jnp.einsum("n,ij->nij", active, jnp.diag(nga_walk))
+    elems = dict(dR=dR, dV=dV, dP=dP, dT=dt * active,
+                 JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa,
+                 C9=C9, Cw=Cw)
+    # Pad to a power of two with identity elements, halve log2(N) times.
+    P2 = 1 << max(0, (N - 1).bit_length())
+    if P2 != N:
+        ident = dict(
+            dR=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P2 - N, 3, 3)),
+            dV=jnp.zeros((P2 - N, 3), dtype), dP=jnp.zeros((P2 - N, 3), dtype),
+            dT=jnp.zeros((P2 - N,), dtype),
+            JRg=jnp.zeros((P2 - N, 3, 3), dtype),
+            JVg=jnp.zeros((P2 - N, 3, 3), dtype),
+            JVa=jnp.zeros((P2 - N, 3, 3), dtype),
+            JPg=jnp.zeros((P2 - N, 3, 3), dtype),
+            JPa=jnp.zeros((P2 - N, 3, 3), dtype),
+            C9=jnp.zeros((P2 - N, 9, 9), dtype),
+            Cw=jnp.zeros((P2 - N, 6, 6), dtype),
+        )
+        elems = jax.tree.map(
+            lambda x, i: jnp.concatenate([x, i]), elems, ident
+        )
+    while elems["dT"].shape[0] > 1:
+        left = jax.tree.map(lambda x: x[0::2], elems)
+        right = jax.tree.map(lambda x: x[1::2], elems)
+        elems = _compose_preint(left, right)
+    total = jax.tree.map(lambda x: x[0], elems)
+    C = jnp.zeros((15, 15), dtype)
+    C = C.at[:9, :9].set(total["C9"]).at[9:, 9:].set(total["Cw"])
+    return Preintegrated(
+        dR=total["dR"], dV=total["dV"], dP=total["dP"],
+        JRg=total["JRg"], JVg=total["JVg"], JVa=total["JVa"],
+        JPg=total["JPg"], JPa=total["JPa"],
+        C=C, dT=total["dT"], b_lin=b_lin,
+    )
 
 
 def delta_with_bias(state: Preintegrated, b_new: jnp.ndarray):
@@ -239,3 +380,10 @@ def inertial_residual_gs(R1, p1, v1, b1, R2, p2, v2, preint: Preintegrated,
     ev = R1.T @ (scale * (v2 - v1) - gravity * t) - dV
     ep = R1.T @ (scale * (p2 - p1 - v1 * t) - 0.5 * gravity * t * t) - dP
     return jnp.concatenate([er, ev, ep])
+
+
+# Debug/A-B knob: force the sequential reference integrator.
+import os as _os
+
+if _os.environ.get("ORB_TPU_SEQ_PREINT"):
+    preintegrate = preintegrate_sequential

@@ -247,41 +247,49 @@ def extract(img: jnp.ndarray, config: ExtractorConfig) -> Features:
     (ORBextractor.cc:1086-1168) minus the stereo partitioning (done by
     the caller).
 
-    TPU-first, patch-centric: FAST runs once batched over a padded
-    [L, H0, W0] level canvas; per-level top-K selection keeps the exact
-    per-level cell grids; then ONE 43x43 patch gather per keypoint feeds
+    TPU-first, patch-centric: FAST runs once over a horizontally
+    STRIP-PACKED level canvas (levels side by side, each with an M-px
+    edge-replicated margin) — a [L, H0, W0] batched canvas pays full-
+    resolution FAST on every level (8x the level-0 area) where the true
+    level content sums to ~3.3x, a measured ~2.4x waste in the hottest
+    extraction stage. Per-level top-K selection keeps the exact per-level
+    cell grids; then ONE 43x43 patch gather per keypoint feeds
     orientation (center 31x31 moments), a batched patch blur, and
     descriptor sampling by ``take_along_axis`` — the whole-image Gaussian
     blur and the scattered image-space descriptor gathers (the two
     measured hot spots of the per-level loop, ~16 ms of 46 ms on v5e)
-    disappear entirely. Detection is bit-identical to ``extract_looped``;
-    descriptors can differ only for keypoints whose blur window crosses
-    the level boundary (canvas edge-replication vs whole-image reflect).
+    disappear entirely. Geometry notes: rolls reach 3 px and patches
+    overshoot the 19-px keypoint border by at most 2+blur px, both < the
+    2M = 8 px separating adjacent levels' content, so no cross-level
+    contamination can reach a surviving keypoint or its descriptor.
+    Detection matches ``extract_looped``; descriptors can differ only
+    for keypoints whose blur window crosses the level boundary (margin
+    edge-replication vs whole-image reflect).
     """
     L = config.n_levels
     H0, W0 = config.height, config.width
-    M = PATCH_RAW - 19 + 2  # canvas margin so patch slices never clamp
+    M = PATCH_RAW - 19 + 2  # margin so patch slices never clamp
     levels = pyr_mod.build_pyramid(img, config.n_levels, config.scale)
-    stack = jnp.stack(
-        [
-            jnp.pad(
-                lv,
-                ((M, H0 + M - lv.shape[0]), (M, W0 + M - lv.shape[1])),
-                mode="edge",
-            )
-            for lv in levels
-        ]
-    )  # [L, H0+2M, W0+2M], level l at offset (M, M)
+    parts, offs = [], []
+    x_cursor = 0
+    for lv in levels:
+        hl, wl = lv.shape
+        parts.append(jnp.pad(
+            lv, ((M, H0 + M - hl), (M, M)), mode="edge",
+        ))
+        offs.append(x_cursor + M)  # column of level content in the strip
+        x_cursor += wl + 2 * M
+    strip = jnp.concatenate(parts, axis=1)  # [H0+2M, sum(Wl+2M)]
 
     score = fast_mod.score_map_combined(
-        stack, config.ini_threshold, config.min_threshold
+        strip, config.ini_threshold, config.min_threshold
     )
 
     out_xy, out_lvl, out_resp, out_valid = [], [], [], []
     border = 19
     for l in range(L):
         h, w = config.level_shape(l)
-        sc = jax.lax.slice(score, (l, M, M), (l + 1, M + h, M + w))[0]
+        sc = jax.lax.slice(score, (M, offs[l]), (M + h, offs[l] + w))
         ys = jnp.arange(h)[:, None]
         xs = jnp.arange(w)[None, :]
         inb = (
@@ -300,13 +308,15 @@ def extract(img: jnp.ndarray, config: ExtractorConfig) -> Features:
     resp = jnp.concatenate(out_resp)
     valid = jnp.concatenate(out_valid)
 
-    # One raw patch per keypoint from the padded canvas.
+    # One raw patch per keypoint from the strip (level offset folded
+    # into the column index — a 2-D gather, no level axis).
     S = 2 * PATCH_RAW + 1
+    offs_arr = jnp.asarray(offs, jnp.int32)[lvl]
     y0 = xy_lv[:, 1].astype(jnp.int32) + M - PATCH_RAW
-    x0 = xy_lv[:, 0].astype(jnp.int32) + M - PATCH_RAW
+    x0 = xy_lv[:, 0].astype(jnp.int32) + offs_arr - PATCH_RAW
     patches = jax.vmap(
-        lambda li, yy, xx: jax.lax.dynamic_slice(stack, (li, yy, xx), (1, S, S))[0]
-    )(lvl, y0, x0)  # [N, 43, 43]
+        lambda yy, xx: jax.lax.dynamic_slice(strip, (yy, xx), (S, S))
+    )(y0, x0)  # [N, 43, 43]
 
     # Orientation from the center 31x31 (identical to angles_at).
     c0 = PATCH_RAW - PATCH_R

@@ -75,6 +75,37 @@ class TestPreintegration:
         )
         assert float(jnp.max(jnp.abs(r))) < 2e-3, np.asarray(r)
 
+    def test_tree_reduction_matches_sequential(self, rng):
+        """The log-depth tree reduction (associative segment composition,
+        the MergePrevious algebra) must reproduce the sequential
+        per-sample recursion to reassociation tolerance — deltas, ALL
+        bias Jacobians, and the full 15x15 covariance."""
+        for n in (1, 7, 20, 64):
+            accs, gyros, *_ = simulate_trajectory(max(n, 2), 0.005, rng)
+            accs, gyros = accs[:n], gyros[:n]
+            dts = np.full((n,), 0.005, np.float32)
+            if n >= 7:
+                dts[n // 2] = 0.0  # padding row mid-stream
+            b = jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.01)
+            calib = make_calib()
+            fast = imu.preintegrate(
+                jnp.asarray(accs), jnp.asarray(gyros), jnp.asarray(dts),
+                b, calib)
+            seq = imu.preintegrate_sequential(
+                jnp.asarray(accs), jnp.asarray(gyros), jnp.asarray(dts),
+                b, calib)
+            for f in ("dR", "dV", "dP", "dT", "JRg", "JVg", "JVa",
+                      "JPg", "JPa"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(fast, f)),
+                    np.asarray(getattr(seq, f)),
+                    rtol=2e-4, atol=2e-6, err_msg=f"{f} n={n}",
+                )
+            np.testing.assert_allclose(
+                np.asarray(fast.C), np.asarray(seq.C),
+                rtol=2e-3, atol=1e-10, err_msg=f"C n={n}",
+            )
+
     def test_padding_is_noop(self, rng):
         n, dt = 16, 0.005
         accs, gyros, *_ = simulate_trajectory(n, dt, rng)
